@@ -1,0 +1,15 @@
+"""cvx_tpu — a TPU-native dense convex-minimization framework.
+
+Brand-new implementation of the capabilities of the reference library
+spyqqqdia/cvx (Boyd–Vandenberghe interior-point methods: log-barrier and
+infeasible-start primal-dual solvers, phase-I feasibility analysis, convex
+duality, and Kullback–Leibler distance minimization), re-designed for
+JAX/XLA/Pallas on TPU: autodiff objectives, jit-compiled lax.while_loop
+solver loops, vmap instance batching, and shard_map distribution.
+
+See SURVEY.md for the layer map and the reference cross-references.
+"""
+
+__version__ = "0.1.0"
+
+from . import ops  # noqa: F401

@@ -1,0 +1,63 @@
+"""Ruiz equilibration of symmetric matrices.
+
+TPU-native re-design of the reference's preconditioner
+(cvx/MatrixUtils.scala:240-268 ``ruizEquilibrate`` and :278-307
+``ruizEquilibrate0``): iteratively rescale H -> Q = D H D with a diagonal D so
+that every row of Q has (approximately) unit l2 norm.  This bounds the spread
+of row norms and typically reduces the condition number dramatically before a
+Cholesky factorization.
+
+Differences from the reference (deliberate, for XLA):
+  * the convergence loop is a ``lax.while_loop`` with a hard iteration cap, so
+    the whole thing jit-compiles and vmaps over instance batches;
+  * the row-norm update is fully vectorized (one ``jnp`` expression per sweep)
+    instead of a per-row scalar loop;
+  * zero rows get scale 1.0 exactly as in the reference (``v = 1 if u == 0``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def ruiz_equilibrate(
+    H: jax.Array, *, max_iter: int = 20, tol: float = 1e-6
+) -> tuple[jax.Array, jax.Array]:
+    """Equilibrate symmetric ``H``; returns ``(d, Q)`` with ``Q = D H D``.
+
+    ``D = diag(d)``.  To solve ``H x = b``: solve ``Q u = d * b`` and set
+    ``x = d * u``.
+    """
+    n = H.shape[-1]
+    d0 = jnp.ones((n,), dtype=H.dtype)
+
+    def scaled(d):
+        return (d[:, None] * d[None, :]) * H
+
+    def cond(carry):
+        d, rho, it = carry
+        return jnp.logical_and(it < max_iter, rho > tol)
+
+    def body(carry):
+        d, _, it = carry
+        Q = scaled(d)
+        # u_i = sqrt(||row_i(Q)||_2); rho = max_i |1 - u_i|
+        row_norms = jnp.linalg.norm(Q, axis=1)
+        u = jnp.sqrt(row_norms)
+        v = jnp.where(u > 0, 1.0 / jnp.where(u > 0, u, 1.0), 1.0)
+        rho = jnp.max(jnp.abs(1.0 - u))
+        return d * v, rho, it + 1
+
+    d, _, _ = jax.lax.while_loop(
+        cond, body, (d0, jnp.asarray(jnp.inf, H.dtype), jnp.asarray(0))
+    )
+    return d, scaled(d)
+
+
+def apply_equilibration(d: jax.Array, b: jax.Array) -> jax.Array:
+    """Scale a right-hand side (or unscale a solution): ``d * b``."""
+    return d * b

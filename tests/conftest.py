@@ -1,0 +1,33 @@
+"""Test configuration: run on a virtual 8-device CPU mesh in float64.
+
+Per SURVEY.md section 4: multi-chip sharding logic is tested on a CPU mesh via
+``--xla_force_host_platform_device_count``; float64 matches the reference's
+numerical envelope (tolerances 1e-8..1e-14).
+
+The container's sitecustomize registers a remote-TPU (axon) PJRT plugin at
+interpreter startup and sets JAX_PLATFORMS=axon.  Unit tests must not run over
+the TPU tunnel, so we flip the platform to CPU in-process *before* any backend
+is initialized (sitecustomize imports jax but does not initialize backends).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
