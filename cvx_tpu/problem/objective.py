@@ -166,14 +166,15 @@ def p_norm_p(n: int, p: float) -> CustomObjective:
 def power_objective(A: jax.Array, alpha: jax.Array, q: float):
     """f(x) = sum_j alpha_j (a_j . x)^(2q), a_j = row_j(A).
 
-    The Type1Function power family (Type1Function.scala:91-107); global
-    minimum 0 on ker(A).
+    The Type1Function power family (Type1Function.scala:91-107): u^(2q) is
+    evaluated as (u*u)^q so it is defined (and convex, C^2 for q > 1) for
+    u < 0 and fractional q.  Global minimum 0 on ker(A).
     """
     assert q >= 1
 
     def fn(params, x):
         A, alpha, q = params
         u = A @ x
-        return jnp.sum(alpha * u ** (2.0 * q))
+        return jnp.sum(alpha * (u * u) ** q)
 
     return CustomObjective(fn=fn, params=(A, alpha, jnp.asarray(q)))

@@ -1,0 +1,209 @@
+"""Damped-Newton minimization over an open convex set.
+
+TPU-native re-design of cvx/UnconstrainedSolver.scala (:22-209) and
+cvx/EqualityConstrainedSolver.scala (:18-170): the inner engines of the
+barrier method.  The reference's mutable while loops become
+``lax.while_loop``s over explicit carry pytrees; the whole solve is one
+compiled program and vmaps over instance batches.
+
+Line search: from x + d backtrack x + t*d (t *= beta) until the point is
+inside the set AND satisfies Armijo f(x+t d) <= f + alpha*t*(g.d), as a
+single inner while_loop (equivalent to the reference's two sequential
+backtracking loops at UnconstrainedSolver.scala:91-111 since t shrinks
+monotonically).  NaN-safe: an out-of-domain trial where f is NaN fails the
+explicit acceptance predicate.
+
+A note on the reference's trust region (UnconstrainedSolver.scala:85-105):
+its adaptation factor is ``val rho = 1+1/4`` — integer division, so rho == 1
+and the radius never changes; the trust region is effectively inert.  We
+implement plain damped Newton, matching the reference's actual behavior.
+
+Per-instance failure (line-search exhaustion) becomes a ``stalled`` flag in
+the carry instead of a LineSearchFailedException — a vmapped batch keeps
+going for the healthy instances (SURVEY.md section 7.3 'exceptions->masks').
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.kkt import kkt_solve, sym_solve
+from .types import NewtonResult, SolverParams
+
+
+def _backtrack(value_fn, in_set, x, d, f0, q, pars, require_armijo=True):
+    """Shared backtracking line search.  Returns (t, accepted).
+
+    ``require_armijo`` may be a traced bool: when False the search only
+    backtracks into the set (used for pure feasibility-restoration steps of
+    the infeasible-start equality-constrained Newton, where g.d can be 0).
+    """
+
+    def acceptable(t):
+        xt = x + t * d
+        ft = value_fn(xt)
+        ok = jnp.logical_and(in_set(xt), jnp.isfinite(ft))
+        armijo = ft <= f0 + pars.alpha * t * q
+        return jnp.logical_and(
+            ok, jnp.logical_or(jnp.logical_not(require_armijo), armijo)
+        )
+
+    def cond(carry):
+        t, it = carry
+        return jnp.logical_and(it < pars.ls_max_steps,
+                               jnp.logical_not(acceptable(t)))
+
+    def body(carry):
+        t, it = carry
+        return t * pars.beta, it + 1
+
+    t, _ = lax.while_loop(cond, body, (jnp.asarray(1.0, x.dtype),
+                                       jnp.asarray(0)))
+    return t, acceptable(t)
+
+
+def newton_minimize(
+    fgh: Callable,
+    in_set: Callable,
+    x0: jax.Array,
+    pars: SolverParams,
+    stop_fn: Callable | None = None,
+) -> NewtonResult:
+    """Minimize f over the open set C by damped Newton.
+
+    ``fgh(x) -> (f, g, H)``; ``in_set(x) -> bool`` is the strict-membership
+    predicate used by the backtracking line search; ``stop_fn(x) -> bool``
+    optionally terminates early (phase-I: stop once the slack goes negative).
+
+    Loop condition mirrors UnconstrainedSolver.scala:47:
+    ``iter < maxIter && newtonDecrement > tol && normGrad > tol``.
+    """
+
+    def value_fn(x):
+        return fgh(x)[0]
+
+    big = jnp.asarray(jnp.inf, x0.dtype)
+
+    def cond(carry):
+        x, dec, ngrad, it, stalled = carry
+        go = jnp.logical_and(dec > pars.tol, ngrad > pars.tol)
+        go = jnp.logical_and(go, it < pars.max_iter)
+        go = jnp.logical_and(go, jnp.logical_not(stalled))
+        if stop_fn is not None:
+            go = jnp.logical_and(go, jnp.logical_not(stop_fn(x)))
+        return go
+
+    def body(carry):
+        x, _, _, it, _ = carry
+        f, g, H = fgh(x)
+        # Newton step: always-regularized solve (replaces the reference's
+        # choleskySolve -> +1e-9 I -> symSolve ladder,
+        # UnconstrainedSolver.scala:54-67)
+        d, _ = sym_solve(H, -g, method=pars.kkt_method,
+                         refine=pars.kkt_refine, delta=pars.chol_delta,
+                         tol=pars.tol_eq_solve)
+        q = d @ g
+        dec = -q / 2.0
+
+        def do_step(_):
+            t, accepted = _backtrack(value_fn, in_set, x, d, f, q, pars)
+            x_new = jnp.where(accepted, 1.0, 0.0) * (x + t * d) + \
+                jnp.where(accepted, 0.0, 1.0) * x
+            return x_new, jnp.logical_not(accepted)
+
+        def no_step(_):
+            # not a descent direction or already converged-by-decrement:
+            # loop exits via dec <= tol
+            return x, jnp.asarray(False)
+
+        x_new, stalled = lax.cond(dec > pars.tol, do_step, no_step, None)
+        g_new = fgh(x_new)[1]
+        return x_new, dec, jnp.linalg.norm(g_new), it + 1, stalled
+
+    f0, g0, _ = fgh(x0)
+    init = (x0, big, jnp.linalg.norm(g0), jnp.asarray(0),
+            jnp.asarray(False))
+    x, dec, ngrad, it, stalled = lax.while_loop(cond, body, init)
+    return NewtonResult(
+        x=x, newton_decrement=dec, norm_grad=ngrad,
+        eq_gap=jnp.asarray(jnp.nan, x.dtype), iters=it,
+        maxed_out=it >= pars.max_iter, stalled=stalled,
+    )
+
+
+def newton_minimize_eq(
+    fgh: Callable,
+    in_set: Callable,
+    x0: jax.Array,
+    A: jax.Array,
+    b: jax.Array,
+    pars: SolverParams,
+    stop_fn: Callable | None = None,
+) -> NewtonResult:
+    """Newton with equality constraints A x = b (infeasible start allowed).
+
+    Steps solve the KKT system [[H, A^T], [A, 0]] (d, w) = (-g, b - A x)
+    (EqualityConstrainedSolver.scala:49-99).  Loop runs while
+    ``(dec > tol && ngrad > tol) || ||Ax-b|| > tol``.
+    """
+
+    def value_fn(x):
+        return fgh(x)[0]
+
+    big = jnp.asarray(jnp.inf, x0.dtype)
+
+    def cond(carry):
+        x, dec, ngrad, eq_err, it, stalled = carry
+        opt = jnp.logical_and(dec > pars.tol, ngrad > pars.tol)
+        go = jnp.logical_or(opt, eq_err > pars.tol)
+        go = jnp.logical_and(go, it < pars.max_iter)
+        go = jnp.logical_and(go, jnp.logical_not(stalled))
+        if stop_fn is not None:
+            go = jnp.logical_and(go, jnp.logical_not(stop_fn(x)))
+        return go
+
+    def body(carry):
+        x, _, _, _, it, _ = carry
+        f, g, H = fgh(x)
+        eq_diff = b - A @ x
+        d, _, _ = kkt_solve(H, A, g, eq_diff, method=pars.kkt_method,
+                            refine=pars.kkt_refine, delta=pars.chol_delta,
+                            tol=pars.tol_eq_solve)
+        q = d @ g
+        dec = -q / 2.0
+        eq_err0 = jnp.linalg.norm(eq_diff)
+
+        # Step whenever there is optimality OR feasibility progress to make.
+        # When the decrement is ~0 but Ax != b (e.g. zero gradient at an
+        # infeasible start) the Newton step still restores A(x+d) = b, so
+        # take it with set-membership-only backtracking.
+        descent = dec > pars.tol
+        take_step = jnp.logical_or(descent, eq_err0 > pars.tol)
+
+        def do_step(_):
+            t, accepted = _backtrack(value_fn, in_set, x, d, f, q, pars,
+                                     require_armijo=descent)
+            x_new = jnp.where(accepted, 1.0, 0.0) * (x + t * d) + \
+                jnp.where(accepted, 0.0, 1.0) * x
+            return x_new, jnp.logical_not(accepted)
+
+        def no_step(_):
+            return x, jnp.asarray(False)
+
+        x_new, stalled = lax.cond(take_step, do_step, no_step, None)
+        g_new = fgh(x_new)[1]
+        eq_err = jnp.linalg.norm(b - A @ x_new)
+        return (x_new, dec, jnp.linalg.norm(g_new), eq_err, it + 1, stalled)
+
+    g0 = fgh(x0)[1]
+    init = (x0, big, jnp.linalg.norm(g0),
+            jnp.linalg.norm(b - A @ x0), jnp.asarray(0), jnp.asarray(False))
+    x, dec, ngrad, eq_err, it, stalled = lax.while_loop(cond, body, init)
+    return NewtonResult(
+        x=x, newton_decrement=dec, norm_grad=ngrad, eq_gap=eq_err,
+        iters=it, maxed_out=it >= pars.max_iter, stalled=stalled,
+    )

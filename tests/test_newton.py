@@ -1,0 +1,97 @@
+"""M2: Newton engines on problems with known minimizers
+(OptimizationProblems.scala normSquared / powerProblems)."""
+
+import jax
+import jax.numpy as jnp
+
+from cvx_tpu import problem as pb
+from cvx_tpu.solvers.newton import newton_minimize, newton_minimize_eq
+from cvx_tpu.solvers.types import SolverParams
+
+
+def _fgh(obj):
+    return lambda x: (obj.value(x), obj.grad(x), obj.hess(x))
+
+
+def _free(x):
+    return jnp.asarray(True)
+
+
+class TestUnconstrained:
+    def test_norm_squared(self):
+        n = 10
+        obj = pb.norm_squared(n)
+        x0 = 1.0 + jnp.arange(n, dtype=jnp.float64)
+        res = newton_minimize(_fgh(obj), _free, x0, SolverParams())
+        assert float(jnp.max(jnp.abs(res.x))) < 1e-6
+        assert int(res.iters) <= 3
+        assert not bool(res.stalled)
+
+    def test_power_problem_identity(self):
+        # f = sum_j (x_j)^4, minimum 0 at x = 0
+        # (OptimizationProblems.scala:112-125, A = I_2, alpha=(1,1), q=2)
+        obj = pb.power_objective(jnp.eye(2), jnp.ones(2), q=2.0)
+        x0 = jnp.array([-10.0, -10.0 + jnp.sqrt(2.0)])
+        res = newton_minimize(_fgh(obj), _free, x0,
+                              SolverParams(max_iter=200))
+        assert float(obj.value(res.x)) < 1e-8
+
+    def test_power_problem_nontrivial_kernel(self, key):
+        # minimum attained on ker(A); check f -> 0 and A x -> 0
+        A = jnp.array([[1.0, 0.0, 0.0], [1.0, 1.0, 0.0]])
+        obj = pb.power_objective(A, jnp.ones(2), q=1.5)
+        x0 = jax.random.normal(key, (3,)) * 3.0
+        res = newton_minimize(_fgh(obj), _free, x0,
+                              SolverParams(max_iter=500))
+        assert float(obj.value(res.x)) < 1e-7
+        assert float(jnp.linalg.norm(A @ res.x)) < 1e-1
+
+    def test_jit_and_vmap(self, key):
+        obj = pb.norm_squared(6)
+        solve = jax.jit(jax.vmap(
+            lambda x0: newton_minimize(_fgh(obj), _free, x0,
+                                       SolverParams()).x
+        ))
+        x0s = jax.random.normal(key, (32, 6)) * 5.0
+        xs = solve(x0s)
+        assert float(jnp.max(jnp.abs(xs))) < 1e-6
+
+    def test_early_stop(self):
+        obj = pb.norm_squared(4)
+        x0 = jnp.full((4,), 100.0)
+        # stop as soon as f < 10 (phase-I style early exit)
+        res = newton_minimize(
+            _fgh(obj), _free, x0, SolverParams(),
+            stop_fn=lambda x: obj.value(x) < 10.0,
+        )
+        assert float(obj.value(res.x)) < 10.0
+
+
+class TestEqualityConstrained:
+    def test_norm_squared_on_simplex(self):
+        # min ||x||^2/2 s.t. sum x = 1 -> x = 1/n
+        n = 8
+        obj = pb.norm_squared(n)
+        eq = pb.sum_to_one(n)
+        x0 = jnp.zeros(n)  # infeasible start
+        res = newton_minimize_eq(_fgh(obj), _free, x0, eq.A, eq.b,
+                                 SolverParams())
+        assert float(jnp.max(jnp.abs(res.x - 1.0 / n))) < 1e-8
+        assert float(res.eq_gap) < 1e-10
+
+    def test_quadratic_with_equalities(self, key):
+        n, p = 12, 3
+        k1, k2, k3 = jax.random.split(key, 3)
+        from cvx_tpu import ops
+        P = ops.random_spd(k1, n, cond=1e4)
+        a = jax.random.normal(k2, (n,))
+        obj = pb.QuadraticObjective(P=P, a=a, r=jnp.zeros(()))
+        A = jax.random.normal(k3, (p, n))
+        b = jnp.ones(p)
+        x0 = jnp.zeros(n)
+        res = newton_minimize_eq(_fgh(obj), _free, x0, A, b, SolverParams())
+        # verify KKT: grad in row space of A, Ax=b
+        g = obj.grad(res.x)
+        nu = jnp.linalg.lstsq(A.T, -g)[0]
+        assert float(jnp.linalg.norm(A.T @ nu + g)) < 1e-6
+        assert float(jnp.linalg.norm(A @ res.x - b)) < 1e-8
