@@ -75,8 +75,13 @@ def regularized_cholesky(Q: jax.Array, delta: float | jax.Array | None = None):
     if delta is None:
         delta = default_delta(Q.dtype)
     n = Q.shape[-1]
-    scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(Q, axis1=-2, axis2=-1)),
-                                 axis=-1), 1.0)
+    # scale-RELATIVE shift: mean |diag| is the magnitude proxy; only fall
+    # back to 1.0 when the diagonal is identically zero (e.g. a pure-LP
+    # Hessian), otherwise a tiny-magnitude matrix (like the Schur complement
+    # A H^-1 A^T at large barrier t) would be swamped by an absolute shift.
+    mean_diag = jnp.mean(jnp.abs(jnp.diagonal(Q, axis1=-2, axis2=-1)),
+                         axis=-1)
+    scale = jnp.where(mean_diag > 0, mean_diag, 1.0)
     shift = delta * scale
     Qd = Q + shift[..., None, None] * jnp.eye(n, dtype=Q.dtype)
     return lax.linalg.cholesky(Qd), shift

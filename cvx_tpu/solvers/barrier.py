@@ -1,0 +1,106 @@
+"""Log-barrier interior-point solver.
+
+TPU-native re-design of cvx/BarrierSolver.scala (:22-317): the outer
+continuation over the barrier parameter t (t <- mu*t, duality gap m/t) is a
+``lax.while_loop`` whose body runs a full inner Newton solve on the barrier
+function phi(t,x) = t f(x) - sum_i log(u_i - g_i(x)).  The barrier value /
+gradient / Hessian come from the fused assembly in
+ConstraintSet.barrier_value_grad_hess instead of the reference's
+per-constraint fold (BarrierSolver.scala:269-316).
+
+The whole solve — continuation, Newton, line searches, KKT factorizations —
+is ONE jit-compiled program and vmaps over instance batches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..problem.constraint_set import ConstraintSet
+from ..problem.equality import EqualityConstraint
+from .newton import newton_minimize, newton_minimize_eq
+from .types import OptState, Solution, SolverParams, standard_criterion
+
+
+def barrier_solve(
+    obj,
+    cnts: ConstraintSet,
+    x0: jax.Array,
+    pars: SolverParams | None = None,
+    eqs: EqualityConstraint | None = None,
+    criterion: Callable | None = None,
+    stop_inner: Callable | None = None,
+    t0: float = 1.0,
+) -> Solution:
+    """Minimize ``obj`` s.t. ``cnts`` (+ optional ``A x = b``) from the
+    STRICTLY FEASIBLE point ``x0`` by the barrier method.
+
+    ``criterion(OptState) -> bool`` is the injectable outer termination test
+    (BarrierSolver.scala:87,144); default = duality gap m/t < tol and
+    equality gap < tol.  ``stop_inner(x) -> bool`` optionally terminates the
+    inner Newton solves early (phase-I).
+    """
+    pars = pars or SolverParams()
+    if criterion is None:
+        criterion = standard_criterion(pars)
+    m = cnts.m
+    dtype = x0.dtype
+    nan = jnp.asarray(jnp.nan, dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def in_set(x):
+        return cnts.satisfied_strictly(x)
+
+    def state_of(gap, eq_gap, fval):
+        return OptState(norm_grad=nan, newton_decrement=nan,
+                        duality_gap=gap, eq_gap=eq_gap, obj_value=fval,
+                        norm_dual_residual=nan)
+
+    def cond(carry):
+        x, t, gap, eq_gap, fval, it, n_newton, stalled = carry
+        done = criterion(state_of(gap, eq_gap, fval))
+        go = jnp.logical_not(done)
+        go = jnp.logical_and(go, it < pars.outer_max_iter)
+        go = jnp.logical_and(go, jnp.logical_not(stalled))
+        return go
+
+    def body(carry):
+        x, t, _, _, _, it, n_newton, _ = carry
+
+        def fgh(x_):
+            return cnts.barrier_value_grad_hess(obj, t, x_)
+
+        if eqs is not None:
+            res = newton_minimize_eq(fgh, in_set, x, eqs.A, eqs.b, pars,
+                                     stop_fn=stop_inner)
+            eq_gap = res.eq_gap
+        else:
+            res = newton_minimize(fgh, in_set, x, pars, stop_fn=stop_inner)
+            eq_gap = jnp.asarray(0.0, dtype)
+
+        gap = m / t
+        fval = obj.value(res.x)
+        return (res.x, pars.mu * t, gap, eq_gap, fval, it + 1,
+                n_newton + res.iters, res.stalled)
+
+    init = (x0, jnp.asarray(t0, dtype), inf, inf, inf,
+            jnp.asarray(0), jnp.asarray(0), jnp.asarray(False))
+    x, t, gap, eq_gap, fval, outer_it, n_newton, stalled = lax.while_loop(
+        cond, body, init
+    )
+
+    # dual estimate from the final barrier subproblem:
+    # lambda_i = 1 / (t_solved * d_i)  (Boyd-Vandenberghe section 11.2.2)
+    t_solved = t / pars.mu
+    lam = 1.0 / (t_solved * cnts.margins(x))
+    p = eqs.p if eqs is not None else 0
+    return Solution(
+        x=x, lam=lam, nu=jnp.full((p,), jnp.nan, dtype),
+        newton_decrement=nan, duality_gap=gap, eq_gap=eq_gap,
+        norm_grad=nan, norm_dual_residual=nan,
+        iters=n_newton, maxed_out=outer_it >= pars.outer_max_iter,
+    )

@@ -180,13 +180,36 @@ def newton_minimize_eq(
         # Step whenever there is optimality OR feasibility progress to make.
         # When the decrement is ~0 but Ax != b (e.g. zero gradient at an
         # infeasible start) the Newton step still restores A(x+d) = b, so
-        # take it with set-membership-only backtracking.
+        # take it — but ONLY if it actually shrinks ||Ax-b|| (otherwise the
+        # equality residual has hit its numerical floor and stepping would
+        # random-walk the iterate; stall out instead and let the outer loop
+        # proceed with the floor-level equality gap).
         descent = dec > pars.tol
         take_step = jnp.logical_or(descent, eq_err0 > pars.tol)
 
         def do_step(_):
-            t, accepted = _backtrack(value_fn, in_set, x, d, f, q, pars,
-                                     require_armijo=descent)
+            def acceptable(t):
+                xt = x + t * d
+                ft = value_fn(xt)
+                ok = jnp.logical_and(in_set(xt), jnp.isfinite(ft))
+                armijo = ft <= f + pars.alpha * t * q
+                eq_improves = (jnp.linalg.norm(b - A @ xt)
+                               <= (1.0 - pars.alpha * t) * eq_err0)
+                return jnp.logical_and(
+                    ok, jnp.where(descent, armijo, eq_improves)
+                )
+
+            def ls_cond(carry):
+                t, it = carry
+                return jnp.logical_and(
+                    it < pars.ls_max_steps, jnp.logical_not(acceptable(t))
+                )
+
+            t, _ = lax.while_loop(
+                ls_cond, lambda c: (c[0] * pars.beta, c[1] + 1),
+                (jnp.asarray(1.0, x.dtype), jnp.asarray(0)),
+            )
+            accepted = acceptable(t)
             x_new = jnp.where(accepted, 1.0, 0.0) * (x + t * d) + \
                 jnp.where(accepted, 0.0, 1.0) * x
             return x_new, jnp.logical_not(accepted)
