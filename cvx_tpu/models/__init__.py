@@ -1,0 +1,7 @@
+"""Model zoo (L5 of SURVEY.md): flagship applications built on the solver
+stack.  Dist_KL (Kullback–Leibler distance minimization) is the reference's
+primary use case (cvx/Dist_KL.scala, README.md:7-8)."""
+
+from .dist_kl import DistKL, KLObjective
+
+__all__ = ["DistKL", "KLObjective"]

@@ -1,0 +1,230 @@
+"""Kullback–Leibler distance minimization over discrete distributions.
+
+TPU-native re-design of cvx/Dist_KL.scala — the reference's flagship
+application (README.md:7-8):
+
+    Q* = argmin_Q  d_KL(Q, P)   s.t.   H Q <= u,   A Q = r,
+
+with P the uniform distribution on n atoms,
+d_KL(Q,P) = sum_j q_j (log q_j - log p_j) = x . log(n x).
+
+Both routes of the reference are provided:
+
+  * PRIMAL: objective x.log(nx) with gradient 1 + log(nx) and exact diagonal
+    Hessian 1/x (Dist_KL.scala:223-239); constraints = rows of H, positivity;
+    equalities = [1'; A] x = [1; r] (the probability constraint is always
+    appended, Dist_KL.scala:296-297); phase-I runs at construction
+    (Dist_KL.scala:307) and the barrier or primal-dual solver finishes.
+  * DUAL (the preferred route — its dimension is mI + mE + 1 << n,
+    Dist_KL.scala:59-65): closed forms from docs/maxent.pdf
+        -L*(z) = w.z + R.exp(-B' z),        R = 1/(n e),  B = [H; 1'; A],
+        grad   = w - B (R * exp(-B' z)),
+        hess   = B diag(R * exp(-B' z)) B',
+    primal recovery Q(z) = R * exp(-B' z)  (Dist_KL.scala:146-171).
+
+Everything is a pytree over (H, u, A, r): one ``jit(vmap(...))`` solves
+thousands of scenario instances per device (the north-star batch workload).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..duality import solve_dual
+from ..problem.constraint_set import ConstraintSet
+from ..problem.constraints import LinearBlock, positivity, rows_leq
+from ..problem.equality import EqualityConstraint, sum_to_one
+
+from ..solvers.barrier import barrier_solve
+from ..solvers.phase1 import feasibility_analysis, find_feasible_point
+from ..solvers.primal_dual import primal_dual_solve
+from ..solvers.types import Solution, SolverParams
+from ..tree import pytree_dataclass, static_field
+
+
+@pytree_dataclass
+class KLObjective:
+    """d_KL(x, uniform) = x . log(n x); grad 1 + log(nx); hess diag(1/x)
+    (Dist_KL.scala:223-239)."""
+
+    n: int = static_field()
+
+    def value(self, x):
+        return x @ jnp.log(self.n * x)
+
+    def grad(self, x):
+        return 1.0 + jnp.log(self.n * x)
+
+    def hess(self, x):
+        return jnp.diag(1.0 / x)
+
+
+@pytree_dataclass
+class _NegDualObjective:
+    """-L*(z) = w.z + R.exp(-B'z) (convex), docs/maxent.pdf eq.(20)-(22)."""
+
+    B: jax.Array   # (mI + 1 + mE, n)
+    w: jax.Array   # (mI + 1 + mE,)
+    R: jax.Array   # (n,)
+
+    def _y(self, z):
+        return self.R * jnp.exp(-(self.B.T @ z))
+
+    def value(self, z):
+        return self.w @ z + jnp.sum(self._y(z))
+
+    def grad(self, z):
+        return self.w - self.B @ self._y(z)
+
+    def hess(self, z):
+        y = self._y(z)
+        return jnp.einsum("in,n,jn->ij", self.B, y, self.B)
+
+
+@pytree_dataclass
+class DistKL:
+    """The KL-minimization problem (canonical form: empty blocks allowed).
+
+    Use ``DistKL.create(n, H=..., u=..., A=..., r=...)``.
+    """
+
+    H: jax.Array   # (mI, n) inequality data, mI may be 0
+    u: jax.Array   # (mI,)
+    A: jax.Array   # (mE, n) extra equalities, mE may be 0
+    r: jax.Array   # (mE,)
+    n: int = static_field()
+
+    @classmethod
+    def create(cls, n: int, H=None, u=None, A=None, r=None,
+               dtype=None) -> "DistKL":
+        dtype = dtype or jnp.result_type(float)
+        if (H is None) != (u is None) or (A is None) != (r is None):
+            raise ValueError("H,u (and A,r) must be given together")
+        if H is None:
+            H = jnp.zeros((0, n), dtype)
+            u = jnp.zeros((0,), dtype)
+        if A is None:
+            A = jnp.zeros((0, n), dtype)
+            r = jnp.zeros((0,), dtype)
+        H = jnp.asarray(H, dtype)
+        u = jnp.asarray(u, dtype)
+        A = jnp.asarray(A, dtype)
+        r = jnp.asarray(r, dtype)
+        if H.shape[0] == 0 and A.shape[0] == 0:
+            raise ValueError("need at least one constraint (H,u or A,r)")
+        if H.shape[1] != n or A.shape[1] != n:
+            raise ValueError("H and A must have n columns")
+        return cls(H=H, u=u, A=A, r=r, n=n)
+
+    # ------------------------------------------------------------ primal side
+    @property
+    def objective(self) -> KLObjective:
+        return KLObjective(n=self.n)
+
+    @property
+    def equalities(self) -> EqualityConstraint:
+        """[1'; A] x = [1; r] — probability constraint always first
+        (Dist_KL.scala:193-209, 296-297)."""
+        eq = sum_to_one(self.n, dtype=self.H.dtype)
+        if self.A.shape[0] == 0:
+            return eq
+        return eq.stack(EqualityConstraint(A=self.A, b=self.r))
+
+    @property
+    def inequalities(self) -> ConstraintSet:
+        """Rows of H plus positivity.  The domain stays the WHOLE space
+        (Dist_KL.scala:293 `val C = ConvexSets.wholeSpace(n)`): positivity is
+        enforced by the constraints, so the strictly feasible set already has
+        x > 0 and the log in the objective is safe — while phase-I remains
+        free to relax positivity through its slack variable."""
+        blocks = []
+        if self.H.shape[0] > 0:
+            blocks.append(rows_leq(self.H, self.u))
+        blocks.append(positivity(self.n, dtype=self.H.dtype))
+        return ConstraintSet(blocks=tuple(blocks))
+
+    # -------------------------------------------------------------- dual side
+    @property
+    def num_ineq_dual(self) -> int:
+        return self.H.shape[0]
+
+    @property
+    def dual_dim(self) -> int:
+        """mI + 1 + mE (Dist_KL.scala:115-116)."""
+        return self.H.shape[0] + 1 + self.A.shape[0]
+
+    def neg_dual_objective(self) -> _NegDualObjective:
+        n = self.n
+        dtype = self.H.dtype
+        ones = jnp.ones((1, n), dtype)
+        B = jnp.concatenate([self.H, ones, self.A], axis=0)
+        w = jnp.concatenate([self.u, jnp.ones((1,), dtype), self.r])
+        R = jnp.full((n,), 1.0 / (n * np.e), dtype)
+        return _NegDualObjective(B=B, w=w, R=R)
+
+    def primal_optimum(self, z: jax.Array) -> jax.Array:
+        """Q(z) = R * exp(-B'z) (Dist_KL.scala:171)."""
+        d = self.neg_dual_objective()
+        return d.R * jnp.exp(-(d.B.T @ z))
+
+    # ----------------------------------------------------------------- solve
+    def solve(self, method: str = "dual", pars: SolverParams | None = None,
+              feasible_point: jax.Array | None = None) -> Solution:
+        """Solve the problem.
+
+        method: "dual" (barrier on the closed-form dual — the preferred
+        low-dimensional route), "dual_PD", "BR" (primal barrier), "PD"
+        (primal primal-dual).  Primal routes run phase-I at construction
+        unless ``feasible_point`` is given (Dist_KL.scala:307).
+        """
+        pars = pars or SolverParams()
+        if method in ("dual", "dual_BR", "dual_PD"):
+            inner = "PD" if method == "dual_PD" else "BR"
+            return solve_dual(
+                self.neg_dual_objective(), self.num_ineq_dual,
+                self.dual_dim, self.primal_optimum,
+                method=inner, pars=pars,
+            )
+        if method not in ("BR", "PD"):
+            raise ValueError(f"unknown method: {method!r}")
+        cnts = self.inequalities
+        eqs = self.equalities
+        if feasible_point is None:
+            x0 = jnp.full((self.n,), 1.0 / self.n, self.H.dtype)
+            feasible_point = find_feasible_point(cnts, x0, pars, eqs)
+        if method == "BR":
+            return barrier_solve(self.objective, cnts, feasible_point, pars,
+                                 eqs=eqs)
+        return primal_dual_solve(self.objective, cnts, feasible_point, pars,
+                                 eqs=eqs)
+
+    def solve_jittable(self, feasible_point: jax.Array,
+                       method: str = "BR",
+                       pars: SolverParams | None = None) -> Solution:
+        """Fully jittable primal solve from a given strictly feasible point
+        (no host-side phase-I gate) — the vmap/batch entry point."""
+        pars = pars or SolverParams()
+        if method == "BR":
+            return barrier_solve(self.objective, self.inequalities,
+                                 feasible_point, pars, eqs=self.equalities)
+        if method == "PD":
+            return primal_dual_solve(self.objective, self.inequalities,
+                                     feasible_point, pars,
+                                     eqs=self.equalities)
+        if method in ("dual", "dual_BR", "dual_PD"):
+            inner = "PD" if method == "dual_PD" else "BR"
+            return solve_dual(self.neg_dual_objective(), self.num_ineq_dual,
+                              self.dual_dim, self.primal_optimum,
+                              method=inner, pars=pars)
+        raise ValueError(f"unknown method: {method!r}")
+
+    def feasibility(self, pars: SolverParams | None = None):
+        """Jittable phase-I report for this problem's constraints."""
+        pars = pars or SolverParams()
+        x0 = jnp.full((self.n,), 1.0 / self.n, self.H.dtype)
+        return feasibility_analysis(self.inequalities, x0, pars,
+                                    self.equalities)

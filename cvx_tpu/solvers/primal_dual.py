@@ -1,0 +1,189 @@
+"""Infeasible-start primal-dual interior-point solver.
+
+TPU-native re-design of cvx/PrimalDualSolver.scala (:18-728), which
+implements Boyd–Vandenberghe section 11.7.  One ``lax.while_loop`` carries
+(x, lambda, nu); each iteration:
+
+  residuals (B-V p610, PrimalDualSolver.scala:63-144):
+      r_dual = grad f + Dg^T lambda (+ A^T nu)
+      r_cent = -diag(lambda) f(x) - (1/t) 1          (f = g - ub < 0)
+      r_pri  = A x - b
+
+  reduced KKT matrix with delta-lambda eliminated (11.56, :216-240):
+      H_pd = hess f + sum_i lambda_i hess g_i + Dg^T diag(-lambda/f) Dg
+
+  reduced right-hand side (11.55 top row, re-derived from B-V — the
+  reference's version at PrimalDualSolver.scala:268-285 carries a sign
+  ambiguity flagged 'FIX ME' in its own comment):
+      H_pd dx + A^T dnu = -grad f - A^T nu + (1/t) Dg^T (1/f)
+      A dx              = -r_pri
+
+  delta-lambda back-substitution (:184-209):
+      dlambda_i = (-lambda_i (Dg dx)_i + r_cent_i) / f_i
+
+  line search (11.7.3, :311-374): s = 0.99 * min(1, min_{dl<0} -l/dl), then
+  backtrack until strictly feasible AND ||r_t|| decreased by (1 - alpha*s).
+
+  t = mu * m / eta_hat with surrogate gap eta_hat = -f(x).lambda (:289-297).
+
+The constraint-side quantities use the fused ConstraintSet views, so H_pd
+assembly is einsum-dense rather than the reference's per-constraint loop.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..problem.constraint_set import ConstraintSet
+from ..problem.equality import EqualityConstraint
+from ..ops.kkt import kkt_solve, sym_solve
+from .types import OptState, Solution, SolverParams
+
+
+def primal_dual_solve(
+    obj,
+    cnts: ConstraintSet,
+    x0: jax.Array,
+    pars: SolverParams | None = None,
+    eqs: EqualityConstraint | None = None,
+    criterion: Callable | None = None,
+) -> Solution:
+    """Minimize ``obj`` s.t. ``cnts`` (+ optional ``A x = b``) from the
+    strictly feasible point ``x0``.
+
+    Default termination (PrimalDualSolver.scala:630-631): surrogate gap and
+    dual-residual norm below tol (plus equality gap when equalities exist).
+    """
+    pars = pars or SolverParams()
+    m = cnts.m
+    dtype = x0.dtype
+    nan = jnp.asarray(jnp.nan, dtype)
+    has_eqs = eqs is not None
+    p = eqs.p if has_eqs else 0
+    # max backtracking steps: beta^k < 1e-13  (PrimalDualSolver.scala:354)
+    ls_max = int(-30.0 / jnp.log(pars.beta)) + 1
+
+    if criterion is None:
+        def criterion(s: OptState):
+            ok = jnp.logical_and(s.duality_gap < pars.tol,
+                                 s.norm_dual_residual < pars.tol)
+            if has_eqs:
+                ok = jnp.logical_and(ok, s.eq_gap < jnp.sqrt(pars.tol))
+            return ok
+
+    def residual(t, x, lam, nu):
+        """Full residual vector r_t = (r_dual, r_cent[, r_pri])."""
+        f = cnts.residual(x)
+        G = cnts.jac(x)
+        r_dual = obj.grad(x) + G.T @ lam
+        if has_eqs:
+            r_dual = r_dual + eqs.A.T @ nu
+        r_cent = -lam * f - 1.0 / t
+        parts = [r_dual, r_cent]
+        if has_eqs:
+            parts.append(eqs.A @ x - eqs.b)
+        return jnp.concatenate(parts)
+
+    def surrogate_gap(x, lam):
+        return -(cnts.residual(x) @ lam)
+
+    def body(carry):
+        x, lam, nu, _, _, _, it, _ = carry
+        eta = surrogate_gap(x, lam)
+        t = pars.mu * m / eta
+
+        f = cnts.residual(x)
+        G = cnts.jac(x)
+        inv_f = 1.0 / f
+        # reduced KKT matrix H_pd (11.56)
+        H_pd = (obj.hess(x) + cnts.whess(x, lam)
+                + jnp.einsum("mi,m,mj->ij", G, -lam * inv_f, G))
+        # reduced rhs (11.55): H_pd dx + A^T dnu = rhs_top, A dx = -r_pri
+        rhs_top = -obj.grad(x) + (1.0 / t) * (G.T @ inv_f)
+        if has_eqs:
+            rhs_top = rhs_top - eqs.A.T @ nu
+            r_pri = eqs.A @ x - eqs.b
+            dx, dnu, _ = kkt_solve(H_pd, eqs.A, -rhs_top, -r_pri,
+                                   method=pars.kkt_method,
+                                   refine=pars.kkt_refine,
+                                   delta=pars.chol_delta,
+                                   tol=pars.tol_eq_solve)
+        else:
+            dx, _ = sym_solve(H_pd, rhs_top, method=pars.kkt_method,
+                              refine=pars.kkt_refine, delta=pars.chol_delta,
+                              tol=pars.tol_eq_solve)
+            dnu = jnp.zeros((0,), dtype)
+
+        # delta-lambda back-substitution
+        r_cent = -lam * f - 1.0 / t
+        w = G @ dx
+        dlam = (-lam * w + r_cent) * inv_f
+
+        # line search: largest s keeping lambda > 0
+        ratios = jnp.where(dlam < 0, -lam / dlam, jnp.inf)
+        s0 = pars.pd_step_frac * jnp.minimum(1.0, jnp.min(ratios))
+        norm_rt = jnp.linalg.norm(residual(t, x, lam, nu))
+
+        def accept(s):
+            xs = x + s * dx
+            lams = lam + s * dlam
+            nus = nu + s * dnu
+            feas = cnts.satisfied_strictly(xs)
+            dec = (jnp.linalg.norm(residual(t, xs, lams, nus))
+                   <= (1.0 - pars.alpha * s) * norm_rt)
+            return jnp.logical_and(feas, dec)
+
+        def ls_cond(c):
+            s, k = c
+            return jnp.logical_and(k < ls_max,
+                                   jnp.logical_not(accept(s)))
+
+        s, _ = lax.while_loop(ls_cond,
+                              lambda c: (c[0] * pars.beta, c[1] + 1),
+                              (s0, jnp.asarray(0)))
+        ok = accept(s)
+        stalled = jnp.logical_not(ok)
+        s = jnp.where(ok, s, 0.0)
+
+        x_n = x + s * dx
+        lam_n = lam + s * dlam
+        nu_n = nu + s * dnu
+
+        gap = surrogate_gap(x_n, lam_n)
+        Gn = cnts.jac(x_n)
+        r_dual = obj.grad(x_n) + Gn.T @ lam_n
+        if has_eqs:
+            r_dual = r_dual + eqs.A.T @ nu_n
+            eq_gap = jnp.linalg.norm(eqs.A @ x_n - eqs.b)
+        else:
+            eq_gap = jnp.asarray(0.0, dtype)
+        return (x_n, lam_n, nu_n, gap, jnp.linalg.norm(r_dual), eq_gap,
+                it + 1, stalled)
+
+    def cond(carry):
+        x, lam, nu, gap, ndr, eq_gap, it, stalled = carry
+        state = OptState(norm_grad=nan, newton_decrement=nan,
+                         duality_gap=gap, eq_gap=eq_gap,
+                         obj_value=obj.value(x), norm_dual_residual=ndr)
+        go = jnp.logical_not(criterion(state))
+        go = jnp.logical_and(go, it < 2 * pars.outer_max_iter)
+        go = jnp.logical_and(go, jnp.logical_not(stalled))
+        return go
+
+    lam0 = cnts.lambda_init(x0)  # -1/f_i  (ConstraintSet.scala:116-120)
+    nu0 = jnp.zeros((p,), dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    init = (x0, lam0, nu0, surrogate_gap(x0, lam0), inf, inf,
+            jnp.asarray(0), jnp.asarray(False))
+    x, lam, nu, gap, ndr, eq_gap, it, stalled = lax.while_loop(
+        cond, body, init
+    )
+    return Solution(
+        x=x, lam=lam, nu=nu, newton_decrement=nan, duality_gap=gap,
+        eq_gap=eq_gap, norm_grad=nan, norm_dual_residual=ndr, iters=it,
+        maxed_out=it >= 2 * pars.outer_max_iter,
+    )
