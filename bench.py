@@ -1,0 +1,113 @@
+"""Benchmark: vmap-batched KL interior-point solves on one chip.
+
+North-star config 4 (BASELINE.json): solve BENCH_BATCH (default 10k)
+independent Kullback–Leibler scenario instances (n = BENCH_N, default 100)
+to the reference's duality-gap criterion m/t < 1e-8 with the jit-compiled
+batched barrier solver.  The reference publishes no numbers (BASELINE.md);
+``vs_baseline`` is measured against the north-star target of 10k instances
+in < 1 s (vs_baseline = target_time/actual * batch/10k, > 1 means beating
+the target).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Secondary numbers (Newton iterations/s, KKT factorizations/s, achieved gap)
+go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    batch = int(os.environ.get("BENCH_BATCH", 10000 if on_tpu else 256))
+    n = int(os.environ.get("BENCH_N", 100))
+    log(f"bench: platform={platform} batch={batch} n={n}")
+
+    from cvx_tpu.models import DistKL
+    from cvx_tpu.solvers import SolverParams
+
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    # scenario family: P(A) >= pA with pA >> |A|/n, so the constraint is
+    # ACTIVE at the optimum (the solve concentrates mass on A — a real
+    # workload, not a return-the-uniform no-op), plus P(B) <= pB.  The
+    # strictly feasible start is analytic: put weight w = pA + 0.05 on A.
+    nA, nB = 3, n // 2
+    I_A = np.zeros(n); I_A[:nA] = 1.0
+    I_B = np.zeros(n); I_B[nB:] = 1.0
+    H = jnp.asarray(np.stack([-I_A, I_B]), dtype)
+
+    key = jax.random.PRNGKey(0)
+    pA = jax.random.uniform(key, (batch,), dtype, 0.2, 0.5)
+    pB = jax.random.uniform(jax.random.PRNGKey(1), (batch,), dtype, 0.55, 0.8)
+
+    pars = SolverParams(
+        max_iter=8,                # inexact centering: few Newton steps/stage
+        mu=30.0,                   # long-step continuation
+        tol=1e-8,                  # duality-gap target m/t < 1e-8
+        kkt_method="chol",         # KL barrier Hessians are PD
+        kkt_refine=1,
+    )
+
+    def solve_one(pA_i, pB_i):
+        u = jnp.stack([-pA_i, pB_i])
+        prob = DistKL.create(n, H=H, u=u, dtype=dtype)
+        # strictly feasible start: weight w on A, the rest spread outside
+        w = pA_i + 0.05
+        x0 = (w / nA) * jnp.asarray(I_A, dtype) + \
+            ((1.0 - w) / (n - nA)) * jnp.asarray(1.0 - I_A, dtype)
+        sol = prob.solve_jittable(x0, method="BR", pars=pars)
+        return sol.x, sol.duality_gap, sol.iters
+
+    solve = jax.jit(jax.vmap(solve_one))
+
+    # compile (not timed)
+    t0 = time.perf_counter()
+    xs, gaps, iters = jax.block_until_ready(solve(pA, pB))
+    compile_s = time.perf_counter() - t0
+
+    # timed runs
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        xs, gaps, iters = jax.block_until_ready(solve(pA, pB))
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+
+    total_newton = int(jnp.sum(iters))
+    newton_per_s = total_newton / elapsed
+    gap_max = float(jnp.max(gaps))
+    sums = jnp.abs(jnp.sum(xs, axis=1) - 1.0)
+    log(f"compile: {compile_s:.1f}s  solve: {elapsed*1e3:.1f}ms  "
+        f"newton_iters={total_newton} ({newton_per_s:,.0f}/s)  "
+        f"max gap={gap_max:.2e}  max |sum-1|={float(jnp.max(sums)):.2e}")
+
+    instances_per_s = batch / elapsed
+    # north star: 10k instances (n=100) in < 1 s  =>  10k instances/s
+    vs_baseline = instances_per_s / 10000.0
+    print(json.dumps({
+        "metric": f"kl_batch_solve_throughput_n{n}",
+        "value": round(instances_per_s, 1),
+        "unit": "instances/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,15 @@
+"""Parallel/distributed layer (SURVEY.md sections 2.4, 5.7, 5.8): vmap
+instance batching, mesh sharding via shard_map, and Schur-complement
+consensus for block-separable programs.  The reference has no parallelism at
+all; this layer is new capability mandated by the north star."""
+
+from .batch import shard_solve, vmap_solve
+from .mesh import block_mesh, instance_mesh, shard_batch
+from .schur import (SeparableProblem, make_sharded_schur_solver,
+                    schur_kkt_solve, separable_barrier_solve)
+
+__all__ = [
+    "shard_solve", "vmap_solve", "block_mesh", "instance_mesh",
+    "shard_batch", "SeparableProblem", "make_sharded_schur_solver",
+    "schur_kkt_solve", "separable_barrier_solve",
+]

@@ -1,0 +1,226 @@
+"""Distributed Schur-complement consensus for block-separable programs.
+
+North-star config 5 (BASELINE.json): problems of the form
+
+    min  sum_k f_k(x_k)    s.t.   G_k x_k <= u_k  (per-block inequalities)
+                                  sum_k C_k x_k = c  (coupling equalities)
+
+e.g. scenario programs with a shared resource budget.  The barrier Hessian is
+BLOCK-DIAGONAL (constraints and objectives touch one block each), so the
+Newton-KKT system
+
+    H_k dx_k + C_k^T w = -q_k   (k = 1..K),      sum_k C_k dx_k = rhs
+
+is solved by per-block dense factorizations plus ONE small p x p reduced
+(Schur) system:
+
+    S = sum_k C_k H_k^-1 C_k^T,    S w = -(rhs + sum_k C_k H_k^-1 q_k),
+    dx_k = -H_k^-1 (q_k + C_k^T w).
+
+This generalizes exactly the reference's single-block elimination
+(cvx/KKTSystem.scala:99-167, S = A H^-1 A^T) to many blocks — per
+SURVEY.md section 5.7.  Distribution: blocks are sharded over a mesh axis;
+the only communication is a ``psum`` of the (p, p) Schur contribution and the
+(p,) right-hand side over ICI, then every device back-substitutes its own
+blocks locally.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.cholesky import chol_solve_factored, regularized_cholesky
+from ..ops.equilibrate import ruiz_equilibrate
+from ..solvers.types import SolverParams
+from ..tree import pytree_dataclass
+
+
+def _local_schur_pieces(H, C, q):
+    """Per-shard factorization: for the local blocks (Kl, nb, nb) compute the
+    Schur contribution sum_k C_k H_k^-1 C_k^T, the rhs contribution
+    sum_k C_k H_k^-1 q_k, and keep the factors for back-substitution."""
+
+    def per_block(Hk, Ck, qk):
+        d, Qk = ruiz_equilibrate(Hk)
+        L, _ = regularized_cholesky(Qk)
+        B = Ck * d[None, :]
+        Hinv_Ct = d[:, None] * chol_solve_factored(L, B.T)  # H^-1 C^T (nb,p)
+        Hinv_q = d * chol_solve_factored(L, d * qk)
+        return Hinv_Ct, Hinv_q, Ck @ Hinv_Ct, Ck @ Hinv_q
+
+    Hinv_Ct, Hinv_q, S_k, y_k = jax.vmap(per_block)(H, C, q)
+    return Hinv_Ct, Hinv_q, jnp.sum(S_k, axis=0), jnp.sum(y_k, axis=0)
+
+
+def schur_kkt_solve(H, C, q, rhs):
+    """Single-device block-separable KKT solve.
+
+    H (K, nb, nb) SPD blocks; C (K, p, nb) coupling rows; q (K, nb);
+    rhs (p,) the equality right-hand side (= c - sum C_k x_k at the current
+    iterate for infeasible-start Newton).  Returns (dx (K, nb), w (p,)).
+    """
+    Hinv_Ct, Hinv_q, S, y = _local_schur_pieces(H, C, q)
+    S = 0.5 * (S + S.T)
+    Ls, _ = regularized_cholesky(S)
+    w = chol_solve_factored(Ls, -(rhs + y))
+    dx = -(Hinv_q + jnp.einsum("kij,j->ki", Hinv_Ct, w))
+    return dx, w
+
+
+def make_sharded_schur_solver(mesh: Mesh, axis: str = "blocks") -> Callable:
+    """Sharded version: blocks live on different devices; one psum couples
+    them.  Returned fn has the same signature as schur_kkt_solve; the K axis
+    of H/C/q must be divisible by the mesh axis size."""
+
+    def local(H, C, q, rhs):
+        Hinv_Ct, Hinv_q, S_loc, y_loc = _local_schur_pieces(H, C, q)
+        S = lax.psum(S_loc, axis)          # (p, p) over ICI
+        y = lax.psum(y_loc, axis)          # (p,)
+        S = 0.5 * (S + S.T)
+        Ls, _ = regularized_cholesky(S)
+        w = chol_solve_factored(Ls, -(rhs + y))   # replicated tiny solve
+        dx = -(Hinv_q + jnp.einsum("kij,j->ki", Hinv_Ct, w))
+        return dx, w
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# A full barrier solver for block-separable QP/KL-style programs.
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class SeparableProblem:
+    """min sum_k [ a_k.x_k + x_k' P_k x_k / 2 ]  s.t.  G_k x_k <= u_k,
+    sum_k C_k x_k = c.   All arrays stacked over the block axis K."""
+
+    P: jax.Array   # (K, nb, nb)
+    a: jax.Array   # (K, nb)
+    G: jax.Array   # (K, mb, nb)
+    u: jax.Array   # (K, mb)
+    C: jax.Array   # (K, p, nb)
+    c: jax.Array   # (p,)
+
+    @property
+    def K(self):
+        return self.P.shape[0]
+
+    @property
+    def nb(self):
+        return self.P.shape[1]
+
+    def obj_value(self, x):
+        return jnp.sum(jax.vmap(
+            lambda Pk, ak, xk: ak @ xk + 0.5 * xk @ (Pk @ xk)
+        )(self.P, self.a, x))
+
+    def barrier_pieces(self, t, x):
+        """Per-block barrier value/grad/Hessian (block-diagonal)."""
+
+        def per_block(Pk, ak, Gk, uk, xk):
+            d = uk - Gk @ xk
+            inv_d = 1.0 / d
+            val = t * (ak @ xk + 0.5 * xk @ (Pk @ xk)) - jnp.sum(jnp.log(d))
+            grad = t * (ak + Pk @ xk) + Gk.T @ inv_d
+            hess = t * Pk + jnp.einsum("mi,m,mj->ij", Gk, inv_d * inv_d, Gk)
+            return val, grad, hess
+
+        vals, grads, hesss = jax.vmap(per_block)(self.P, self.a, self.G,
+                                                 self.u, x)
+        return jnp.sum(vals), grads, hesss
+
+    def feasible(self, x):
+        margins = self.u - jnp.einsum("kmn,kn->km", self.G, x)
+        return jnp.all(margins > 0)
+
+
+def separable_barrier_solve(
+    prob: SeparableProblem,
+    x0: jax.Array,
+    pars: SolverParams | None = None,
+    kkt_solver: Callable | None = None,
+):
+    """Barrier method for a SeparableProblem from a strictly feasible x0
+    (coupling equalities may start violated — infeasible-start Newton).
+
+    ``kkt_solver(H, C, q, rhs) -> (dx, w)`` defaults to the single-device
+    schur_kkt_solve; pass the result of make_sharded_schur_solver(mesh) to
+    run blocks across devices.
+    """
+    pars = pars or SolverParams()
+    solver = kkt_solver or schur_kkt_solve
+    m_total = prob.G.shape[0] * prob.G.shape[1]
+    dtype = x0.dtype
+
+    def inner_newton(t, x):
+        def cond(carry):
+            x, dec, eq_err, it = carry
+            go = jnp.logical_or(dec > pars.tol, eq_err > jnp.sqrt(pars.tol))
+            return jnp.logical_and(go, it < pars.max_iter)
+
+        def body(carry):
+            x, _, _, it = carry
+            val, grads, hesss = prob.barrier_pieces(t, x)
+            eq_resid = jnp.einsum("kpn,kn->p", prob.C, x) - prob.c
+            # Newton: sum_k C_k dx_k must equal -(sum C x - c)
+            dx, w = solver(hesss, prob.C, grads, -eq_resid)
+            q = jnp.sum(dx * grads)
+            dec = -q / 2.0
+
+            def accept(s):
+                xs = x + s * dx
+                vs, _, _ = prob.barrier_pieces(t, xs)
+                ok = jnp.logical_and(prob.feasible(xs), jnp.isfinite(vs))
+                armijo = vs <= val + pars.alpha * s * q
+                eq_new = jnp.linalg.norm(
+                    jnp.einsum("kpn,kn->p", prob.C, xs) - prob.c)
+                eq_old = jnp.linalg.norm(eq_resid)
+                improving = jnp.where(dec > pars.tol, armijo,
+                                      eq_new <= (1 - pars.alpha * s) * eq_old
+                                      + pars.tol)
+                return jnp.logical_and(ok, improving)
+
+            # vectorized backtracking (see newton._backtrack)
+            ss = pars.beta ** jnp.arange(pars.ls_max_steps, dtype=dtype)
+            accepts = jax.vmap(accept)(ss)
+            s = jnp.where(jnp.any(accepts), ss[jnp.argmax(accepts)], 0.0)
+            x_new = x + s * dx
+            eq_err = jnp.linalg.norm(
+                jnp.einsum("kpn,kn->p", prob.C, x_new) - prob.c)
+            dec = jnp.where(s > 0, dec, 0.0)  # stalled -> exit via dec
+            return x_new, dec, eq_err, it + 1
+
+        big = jnp.asarray(jnp.inf, dtype)
+        x, dec, eq_err, it = lax.while_loop(
+            cond, body, (x, big, big, jnp.asarray(0)))
+        return x, it
+
+    def outer_cond(carry):
+        x, t, it, n_newton = carry
+        gap = m_total / t
+        return jnp.logical_and(gap * pars.mu > pars.tol,
+                               it < pars.outer_max_iter)
+
+    def outer_body(carry):
+        x, t, it, n_newton = carry
+        x, inner_it = inner_newton(t, x)
+        return x, pars.mu * t, it + 1, n_newton + inner_it
+
+    x, t, outer_it, n_newton = lax.while_loop(
+        outer_cond, outer_body,
+        (x0, jnp.asarray(1.0, dtype), jnp.asarray(0), jnp.asarray(0)))
+    return x, {"outer_iters": outer_it, "newton_iters": n_newton,
+               "gap": m_total / (t / pars.mu)}

@@ -45,10 +45,19 @@ def barrier_solve(
     inner Newton solves early (phase-I).
     """
     pars = pars or SolverParams()
-    if criterion is None:
-        criterion = standard_criterion(pars)
     m = cnts.m
     dtype = x0.dtype
+    # dtype-aware equality tolerance: ||Ax-b|| has a floor of ~eps * scale,
+    # so an absolute 1e-8 can never fire in float32 — without this, t grows
+    # until the barrier Hessian overflows (the f32 TPU fast path).
+    eps = jnp.finfo(dtype).eps
+    eq_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 100.0 * eps)
+    if criterion is None:
+        def criterion(s: OptState):
+            return jnp.logical_and(s.duality_gap < pars.tol,
+                                   s.eq_gap < eq_tol)
+    # no point growing t beyond the gap target (plus one decade of margin)
+    t_max = 10.0 * pars.mu * m / pars.tol
     nan = jnp.asarray(jnp.nan, dtype)
     inf = jnp.asarray(jnp.inf, dtype)
 
@@ -65,7 +74,12 @@ def barrier_solve(
         done = criterion(state_of(gap, eq_gap, fval))
         go = jnp.logical_not(done)
         go = jnp.logical_and(go, it < pars.outer_max_iter)
-        go = jnp.logical_and(go, jnp.logical_not(stalled))
+        go = jnp.logical_and(go, t <= t_max)
+        # inner stalls do NOT abort the continuation: the duality-gap bound
+        # m/t keeps improving as t anneals even when the iterate can no
+        # longer move at this dtype's resolution, and a stalled stage exits
+        # its inner loop after a single Newton step (cheap).  t_max and
+        # outer_max_iter bound the loop.
         return go
 
     def body(carry):

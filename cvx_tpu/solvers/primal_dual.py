@@ -123,7 +123,9 @@ def primal_dual_solve(
         w = G @ dx
         dlam = (-lam * w + r_cent) * inv_f
 
-        # line search: largest s keeping lambda > 0
+        # line search: largest s keeping lambda > 0, then vectorized
+        # backtracking — all candidate steps evaluated in one fused pass
+        # (see newton._backtrack for the rationale)
         ratios = jnp.where(dlam < 0, -lam / dlam, jnp.inf)
         s0 = pars.pd_step_frac * jnp.minimum(1.0, jnp.min(ratios))
         norm_rt = jnp.linalg.norm(residual(t, x, lam, nu))
@@ -137,17 +139,11 @@ def primal_dual_solve(
                    <= (1.0 - pars.alpha * s) * norm_rt)
             return jnp.logical_and(feas, dec)
 
-        def ls_cond(c):
-            s, k = c
-            return jnp.logical_and(k < ls_max,
-                                   jnp.logical_not(accept(s)))
-
-        s, _ = lax.while_loop(ls_cond,
-                              lambda c: (c[0] * pars.beta, c[1] + 1),
-                              (s0, jnp.asarray(0)))
-        ok = accept(s)
+        ss = s0 * pars.beta ** jnp.arange(ls_max, dtype=dtype)
+        accepts = jax.vmap(accept)(ss)
+        ok = jnp.any(accepts)
         stalled = jnp.logical_not(ok)
-        s = jnp.where(ok, s, 0.0)
+        s = jnp.where(ok, ss[jnp.argmax(accepts)], 0.0)
 
         x_n = x + s * dx
         lam_n = lam + s * dlam

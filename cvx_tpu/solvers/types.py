@@ -40,7 +40,7 @@ class SolverParams:
     phase1_eq_tol: float = 1e-6   # equalities-as-inequalities tolerance
     dual_start: float = 1e-3      # dual problem feasible start value
     # static (affect trace structure)
-    ls_max_steps: int = static_field(default=200)   # line-search cap
+    ls_max_steps: int = static_field(default=64)    # line-search candidates
     outer_max_iter: int = static_field(default=100) # barrier/PD outer cap
     kkt_method: str = static_field(default="aug")   # see ops.kkt
     kkt_refine: int = static_field(default=2)
