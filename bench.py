@@ -1,5 +1,8 @@
 """Benchmark: vmap-batched KL interior-point solves on one chip.
 
+Set BENCH_METHOD=BR to use the dense-Hessian barrier path instead of the
+structure-exploiting (diag + low-rank Woodbury) fast path.
+
 North-star config 4 (BASELINE.json): solve BENCH_BATCH (default 10k)
 independent Kullback–Leibler scenario instances (n = BENCH_N, default 100)
 to the reference's duality-gap criterion m/t < 1e-8 with the jit-compiled
@@ -42,6 +45,7 @@ def main():
     from cvx_tpu.solvers import SolverParams
 
     dtype = jnp.float32 if on_tpu else jnp.float64
+    method = os.environ.get("BENCH_METHOD", "BR_fast")
 
     # scenario family: P(A) >= pA with pA >> |A|/n, so the constraint is
     # ACTIVE at the optimum (the solve concentrates mass on A — a real
@@ -71,7 +75,7 @@ def main():
         w = pA_i + 0.05
         x0 = (w / nA) * jnp.asarray(I_A, dtype) + \
             ((1.0 - w) / (n - nA)) * jnp.asarray(1.0 - I_A, dtype)
-        sol = prob.solve_jittable(x0, method="BR", pars=pars)
+        sol = prob.solve_jittable(x0, method=method, pars=pars)
         return sol.x, sol.duality_gap, sol.iters
 
     solve = jax.jit(jax.vmap(solve_one))

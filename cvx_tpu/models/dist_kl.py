@@ -62,6 +62,9 @@ class KLObjective:
     def hess(self, x):
         return jnp.diag(1.0 / x)
 
+    def hess_diag(self, x):
+        return 1.0 / x
+
 
 @pytree_dataclass
 class _NegDualObjective:
@@ -220,6 +223,17 @@ class DistKL:
             return solve_dual(self.neg_dual_objective(), self.num_ineq_dual,
                               self.dual_dim, self.primal_optimum,
                               method=inner, pars=pars)
+        if method == "BR_fast":
+            # structure-exploiting primal barrier: the KL barrier Hessian is
+            # diag + rank-mI, so Newton steps cost O(n (mI+mE)^2) instead of
+            # O(n^3) (solvers/structured.py)
+            from ..solvers.structured import barrier_solve_structured
+
+            eqs = self.equalities
+            return barrier_solve_structured(
+                self.objective, self.H, self.u, eqs.A, eqs.b,
+                feasible_point, pars,
+            )
         raise ValueError(f"unknown method: {method!r}")
 
     def feasibility(self, pars: SolverParams | None = None):
