@@ -12,6 +12,6 @@ See SURVEY.md for the layer map and the reference cross-references.
 
 __version__ = "0.1.0"
 
-from . import models, ops, parallel, problem, solvers  # noqa: F401
+from . import diagnostics, models, ops, parallel, problem, solvers, testing  # noqa: F401
 from .api import minimize  # noqa: F401
 from .duality import solve_dual  # noqa: F401
