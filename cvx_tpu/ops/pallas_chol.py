@@ -20,8 +20,14 @@ zero-padded to a multiple of (128, 128) with identity on the padded diagonal
 so the factorization is well defined.
 
 ``cholesky_batched(x, method=...)`` dispatches between this kernel and the
-XLA built-in (``lax.linalg.cholesky``), which is also the CPU/interpret
-fallback — the bench picks the faster path on real hardware.
+XLA built-in (``lax.linalg.cholesky``).  MEASURED (TPU v5e, 4096 x 100 x 100
+f32): XLA 0.81 ms vs this kernel 146 ms — XLA's batched Cholesky is already
+memory-bound-optimal, while the Mosaic restriction to static slicing forces
+this kernel to extract each column by mask+reduce (O(n) redundant VPU work
+per column).  The default therefore stays "xla"; the kernel is kept as the
+in-house implementation to build on — the real Pallas win for this
+framework is fusing the WHOLE structured Newton step in VMEM (future work),
+not re-implementing a single op XLA already saturates.
 """
 
 from __future__ import annotations
@@ -41,79 +47,66 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _chol_tile_kernel(m_ref, l_ref, *, n: int, bk: int):
-    """Factor a (bt, n, n) tile in VMEM.  n multiple of bk; bk <= 128."""
+    """Factor a (bt, n, n) tile in VMEM.  n multiple of bk; bk <= 128.
+
+    Mosaic cannot lower dynamic_slice/gather on VALUES, so the block loop is
+    a static Python loop and the per-column recurrence extracts column j by
+    a one-hot matmul (MXU/VPU-friendly) with iota masks — every shape and
+    slice is static.
+    """
     M = m_ref[...]  # (bt, n, n)
-    bt = M.shape[0]
     dtype = M.dtype
     nblocks = n // bk
 
     rows = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rr = lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1) row index
 
-    def col_step(j, M):
-        """One scalar column step of right-looking Cholesky, vectorized over
-        the instance axis; operates on columns [j] and uses masking so the
-        shapes stay static."""
-        dj = jnp.sqrt(M[:, j, j])[:, None]              # (bt, 1)
-        col = M[:, :, j] / dj                            # (bt, n)
-        rr = lax.broadcasted_iota(jnp.int32, (n,), 0)
-        col = jnp.where(rr >= j, col, 0.0)               # zero above diag
-        # write the j-th column of L and subtract the rank-1 update from the
-        # trailing submatrix (mask to r > j, c > j)
-        upd = col[:, :, None] * col[:, None, :]          # (bt, n, n)
-        keep = jnp.logical_and(rows > j, cols > j)
-        M = M - jnp.where(keep[None], upd, 0.0)
-        # store column j (set row j..n-1 of column j to col)
-        M = M.at[:, :, j].set(col)
-        return M
-
-    def block_step(kb, M):
+    for kb in range(nblocks):
         j0 = kb * bk
 
-        # 1+2: bk scalar steps handle the diagonal block AND the panel below
-        # in one pass (the column recurrence is exact for the whole column);
-        # the trailing update inside col_step is restricted to this block's
-        # span to keep the O(n^2 bk) work on the VPU small, then the full
-        # trailing update is done as a single MXU matmul.
+        # 1+2: bk column steps handle the diagonal block AND the panel
+        # below it (the column recurrence is exact for the whole column);
+        # rank-1 updates are restricted to this block's column span, the
+        # full trailing update is one batched MXU matmul afterwards.
         def inner(i, M):
-            j = j0 + i
-            dj = jnp.sqrt(M[:, j, j])[:, None]
-            col = M[:, :, j] / dj
-            rr = lax.broadcasted_iota(jnp.int32, (n,), 0)
-            col = jnp.where(rr >= j, col, 0.0)
-            # rank-1 update only within the current column block's columns
+            j = j0 + i  # traced scalar
+            cmask = cols == j                             # (n, n)
+            # column j of every instance via mask + reduce (Mosaic-safe:
+            # no gather, no dynamic_slice)
+            colj = jnp.sum(jnp.where(cmask[None], M, 0.0), axis=2)  # (bt,n)
+            dmask = jnp.logical_and(cmask, rows == j)
+            diag_row = jnp.sum(jnp.where(dmask[None], M, 0.0), axis=2)
+            dj2 = jnp.sum(diag_row, axis=1, keepdims=True)  # (bt,1)=M[:,j,j]
+            col = colj * lax.rsqrt(dj2)
+            ridx = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            col = jnp.where(ridx >= j, col, 0.0)
+            # rank-1 update within this block's columns only
             upd = col[:, :, None] * col[:, None, :]
             keep = jnp.logical_and(
                 jnp.logical_and(rows > j, cols > j), cols < j0 + bk
             )
             M = M - jnp.where(keep[None], upd, 0.0)
-            M = M.at[:, :, j].set(col)
+            # write column j:  M[:, :, j] = col
+            M = jnp.where(cmask[None], col[:, :, None], M)
             return M
 
         M = lax.fori_loop(0, bk, inner, M)
 
-        # 3: trailing update  M[:, r>j1, c>j1] -= P @ P^T  with the panel
-        # P = L[:, :, j0:j0+bk] masked to rows > j1 (static slice: bk cols)
+        # 3: trailing update  M[:, r>=j1, c>=j1] -= P @ P^T with the panel
+        # P = columns [j0, j1) of L, masked to rows >= j1 (static slice)
         j1 = j0 + bk
-
-        def trailing(M):
-            P = lax.dynamic_slice(
-                M, (0, 0, j0), (bt, n, bk)
-            )  # (bt, n, bk) — columns j0..j1-1 of L
-            rr = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-            P = jnp.where(rr >= j1, P, 0.0)
+        if kb + 1 < nblocks:
+            P = M[:, :, j0:j1]                           # (bt, n, bk)
+            P = jnp.where(rr[None] >= j1, P, 0.0)
             upd = lax.dot_general(
                 P, P,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=dtype,
-            )  # (bt, n, n)
+            )
             keep = jnp.logical_and(rows >= j1, cols >= j1)
-            return M - jnp.where(keep[None], upd, 0.0)
+            M = M - jnp.where(keep[None], upd, 0.0)
 
-        M = lax.cond(kb + 1 < nblocks, trailing, lambda M: M, M)
-        return M
-
-    M = lax.fori_loop(0, nblocks, block_step, M)
     # zero the strict upper triangle
     l_ref[...] = jnp.where((rows >= cols)[None], M, jnp.zeros_like(M))
 
