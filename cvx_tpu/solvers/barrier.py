@@ -70,7 +70,7 @@ def barrier_solve(
                         norm_dual_residual=nan)
 
     def cond(carry):
-        x, t, gap, eq_gap, fval, it, n_newton, stalled = carry
+        x, t, gap, eq_gap, fval, it, n_newton, stalled, t_active = carry
         done = criterion(state_of(gap, eq_gap, fval))
         go = jnp.logical_not(done)
         go = jnp.logical_and(go, it < pars.outer_max_iter)
@@ -83,7 +83,7 @@ def barrier_solve(
         return go
 
     def body(carry):
-        x, t, _, _, _, it, n_newton, _ = carry
+        x, t, _, _, _, it, n_newton, _, t_active = carry
 
         def fgh(x_):
             return cnts.barrier_value_grad_hess(obj, t, x_)
@@ -98,18 +98,24 @@ def barrier_solve(
 
         gap = m / t
         fval = obj.value(res.x)
+        # track the last t at which the iterate actually moved: at high t in
+        # low precision the Newton math drops below roundoff and x freezes —
+        # the dual estimate must use the t x actually tracks, not the final
+        # continuation value
+        moved = jnp.any(res.x != x)
+        t_active = jnp.where(moved, t, t_active)
         return (res.x, pars.mu * t, gap, eq_gap, fval, it + 1,
-                n_newton + res.iters, res.stalled)
+                n_newton + res.iters, res.stalled, t_active)
 
     init = (x0, jnp.asarray(t0, dtype), inf, inf, inf,
-            jnp.asarray(0), jnp.asarray(0), jnp.asarray(False))
-    x, t, gap, eq_gap, fval, outer_it, n_newton, stalled = lax.while_loop(
-        cond, body, init
-    )
+            jnp.asarray(0), jnp.asarray(0), jnp.asarray(False),
+            jnp.asarray(t0, dtype))
+    (x, t, gap, eq_gap, fval, outer_it, n_newton, stalled,
+     t_active) = lax.while_loop(cond, body, init)
 
-    # dual estimate from the final barrier subproblem:
-    # lambda_i = 1 / (t_solved * d_i)  (Boyd-Vandenberghe section 11.2.2)
-    t_solved = t / pars.mu
+    # dual estimate from the last tracked barrier subproblem:
+    # lambda_i = 1 / (t * d_i)  (Boyd-Vandenberghe section 11.2.2)
+    t_solved = t_active
     lam = 1.0 / (t_solved * cnts.margins(x))
     p = eqs.p if eqs is not None else 0
     return Solution(

@@ -50,7 +50,9 @@ def _backtrack(value_fn, in_set, x, d, f0, q, pars, require_armijo=True):
     backtracks into the set (used for pure feasibility-restoration steps of
     the infeasible-start equality-constrained Newton, where g.d can be 0).
     """
-    ts = pars.beta ** jnp.arange(pars.ls_max_steps, dtype=x.dtype)
+    kk = jnp.arange(pars.ls_max_steps)
+    expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(x.dtype)
+    ts = pars.beta ** expo
 
     def acceptable(t):
         xt = x + t * d
@@ -194,7 +196,9 @@ def newton_minimize_eq(
         take_step = jnp.logical_or(descent, eq_err0 > tol)
 
         def do_step(_):
-            ts = pars.beta ** jnp.arange(pars.ls_max_steps, dtype=x.dtype)
+            kk = jnp.arange(pars.ls_max_steps)
+            expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(x.dtype)
+            ts = pars.beta ** expo
 
             def acceptable(t):
                 xt = x + t * d

@@ -28,12 +28,13 @@ raises ``InfeasibleProblemError`` like the reference's
 from __future__ import annotations
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 
 from ..problem.constraint_set import ConstraintSet
 from ..problem.equality import EqualityConstraint
 from ..problem.objective import LinearObjective
-from ..tree import pytree_dataclass
+from ..tree import pytree_dataclass, replace as tree_replace
 from .barrier import barrier_solve
 from .types import SolverParams, phase1_criterion
 
@@ -65,10 +66,140 @@ class FeasibilityReport:
         return jnp.logical_and(self.s_max < tol, self.eq_error < tol)
 
 
+def _eq_tol(pars: SolverParams, dtype):
+    """Dtype-aware equality tolerance: ||Ax-b|| floors at ~eps * scale, so
+    the f32 path cannot certify 1e-8 (same rationale as barrier_solve)."""
+    return jnp.maximum(jnp.asarray(pars.tol, dtype),
+                       100.0 * jnp.finfo(dtype).eps)
+
+
 def _slack_objective(n: int, dtype) -> LinearObjective:
     """f(x, s) = s (ConstraintSet.scala:131-144)."""
     a = jnp.zeros((n + 1,), dtype).at[n].set(1.0)
     return LinearObjective(a=a, r=jnp.zeros((), dtype))
+
+
+def _phase1_linear_structured(
+    cnts: ConstraintSet,
+    x0: jax.Array,
+    pars: SolverParams,
+) -> FeasibilityReport:
+    """Phase-I for ALL-LINEAR constraint sets via exact low-rank Newton.
+
+    The phase-I barrier Hessian is J^T diag(1/d^2) J with J = [G, -1] — rank
+    at most m, usually << dim + 1.  Generic dense solvers then move only in
+    range(J^T) (spectral pseudo-inverse) or crawl along null directions with
+    roundoff-scale steps (shifted Cholesky in f32): BOTH fail to ride the
+    unbounded descent direction that makes s -> -infinity once the problem
+    is strictly feasible.  Here the Jacobi-regularized system
+
+        (eps * diag(J^T W J) + J^T W J) dz = -g
+
+    is solved EXACTLY by the Woodbury identity, so the null-space gradient
+    motion is well-scaled and phase-I terminates in a handful of steps.
+    """
+    n = cnts.dim
+    dtype = x0.dtype
+    G = jnp.concatenate([b.G for b in cnts.blocks], axis=0)
+    c0 = jnp.concatenate([b.c for b in cnts.blocks])
+    ub = jnp.concatenate([b.ub for b in cnts.blocks])
+    m = G.shape[0]
+    J = jnp.concatenate([G, -jnp.ones((m, 1), dtype)], axis=1)  # (m, n+1)
+    z0 = cnts.phase1_feasible_point(x0)
+    eps = jnp.asarray(1e-6 if jnp.finfo(dtype).bits >= 64 else 1e-4, dtype)
+    tol_feas = pars.tol_feas
+    kk = jnp.arange(pars.ls_max_steps)
+    expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(dtype)
+    ls_ts = pars.beta ** expo
+
+    def margins(z):
+        return ub - c0 - J @ z
+
+    def newton_step(t, z):
+        d = margins(z)
+        inv_d = 1.0 / d
+        w = inv_d * inv_d
+        g = jnp.zeros((n + 1,), dtype).at[n].set(t) + J.T @ inv_d
+        # Jacobi floor + exact Woodbury solve of (diag(h) + J^T W J)
+        h = eps * jnp.einsum("mi,m->i", J * J, w) + jnp.finfo(dtype).tiny
+        inv_h = 1.0 / h
+        JD = J * inv_h[None, :]
+        M = jnp.diag(1.0 / w) + JD @ J.T
+        M = M + (1e-10 if jnp.finfo(dtype).bits >= 64 else 3e-6) * \
+            jnp.mean(jnp.abs(jnp.diag(M))) * jnp.eye(m, dtype=dtype)
+        L = jnp.linalg.cholesky(M)
+        y = jax.scipy.linalg.cho_solve((L, True), JD @ g)
+        dz = -(inv_h * g - JD.T @ y)
+        # cap the slack decrease per step: the phase-I objective is
+        # unbounded below once feasible, and a huge step along the descent
+        # ray amplifies roundoff in downstream affine pullbacks; s < -1 is
+        # already certified-strictly-feasible with margin
+        cap = jnp.where(dz[n] < 0,
+                        jnp.minimum(1.0, (jnp.abs(z[n]) + 1.0) /
+                                    jnp.maximum(-dz[n], 1e-30)),
+                        1.0)
+        dz = cap * dz
+
+        q = dz @ g
+        f0 = t * z[n] - jnp.sum(jnp.log(d))
+        Jdz = J @ dz
+
+        def accept(s):
+            ds = d - s * Jdz
+            ok = jnp.all(ds > 0)
+            fs = t * (z[n] + s * dz[n]) - jnp.sum(
+                jnp.log(jnp.where(ds > 0, ds, 1.0)))
+            return jnp.logical_and(ok, fs <= f0 + pars.alpha * s * q)
+
+        acc = jax.vmap(accept)(ls_ts)
+        any_acc = jnp.any(acc)
+        s = jnp.where(any_acc, ls_ts[jnp.argmax(acc)], 0.0)
+        dec = -q / 2.0
+        return z + s * dz, dec, jnp.logical_not(any_acc)
+
+    tol = jnp.maximum(jnp.asarray(pars.tol, dtype),
+                      50.0 * jnp.finfo(dtype).eps)
+    # cap t: once the duality gap m/t certifies s* within tol of its limit,
+    # further continuation only risks overflow (infeasible problems have
+    # s* > 0 and never hit the s < 0 exit)
+    t_max = 10.0 * pars.mu * m / pars.tol
+
+    def inner(t, z):
+        def cond(c):
+            z, dec, it, stalled = c
+            go = jnp.logical_and(it < pars.max_iter, z[n] > -tol_feas)
+            go = jnp.logical_and(go, dec > tol)
+            return jnp.logical_and(go, jnp.logical_not(stalled))
+
+        def body(c):
+            z, _, it, _ = c
+            z, dec, stalled = newton_step(t, z)
+            return z, dec, it + 1, stalled
+
+        big = jnp.asarray(jnp.inf, dtype)
+        z, dec, it, _ = lax.while_loop(
+            cond, body, (z, big, jnp.asarray(0), jnp.asarray(False)))
+        return z, it
+
+    def outer_cond(c):
+        z, t, it = c
+        go = jnp.logical_and(z[n] > -tol_feas, it < pars.outer_max_iter)
+        return jnp.logical_and(go, t <= t_max)
+
+    def outer_body(c):
+        z, t, it = c
+        z, _ = inner(t, z)
+        return z, pars.mu * t, it + 1
+
+    z, t, _ = lax.while_loop(outer_cond, outer_body,
+                             (z0, jnp.asarray(1.0, dtype), jnp.asarray(0)))
+    x = z[:n]
+    s = z[n]
+    return FeasibilityReport(
+        x=x, s_max=s, slacks=s[None],
+        strictly_feasible=cnts.satisfied_strictly(x),
+        eq_error=jnp.zeros((), dtype),
+    )
 
 
 def phase1_simple(
@@ -82,8 +213,17 @@ def phase1_simple(
     ``early_exit`` terminates the inner Newton solves as soon as s < 0
     (a strictly feasible point exists; the reference only exits at the outer
     level, ConstraintSet.scala:371-374).  Set False to center the point more.
+
+    All-linear constraint sets dispatch to the exact low-rank structured
+    solver (see _phase1_linear_structured); sets with quadratic/nonlinear
+    blocks use the generic barrier machinery.
     """
     pars = pars or SolverParams()
+    from ..problem.constraints import LinearBlock
+
+    if all(isinstance(b, LinearBlock) for b in cnts.blocks):
+        return _phase1_linear_structured(cnts, x0, pars)
+    pars = tree_replace(pars, kkt_method=pars.phase1_kkt_method)
     n = cnts.dim
     lifted = cnts.lift_phase1()
     xs0 = cnts.phase1_feasible_point(x0)
@@ -118,7 +258,7 @@ def phase1_with_eqs_as_ineqs(
     return FeasibilityReport(
         x=rep.x, s_max=rep.s_max, slacks=rep.slacks,
         strictly_feasible=jnp.logical_and(
-            cnts.satisfied_strictly(rep.x), eq_err < pars.tol
+            cnts.satisfied_strictly(rep.x), eq_err < _eq_tol(pars, rep.x.dtype)
         ),
         eq_error=eq_err,
     )
@@ -143,7 +283,7 @@ def phase1_by_reduction(
     return FeasibilityReport(
         x=x, s_max=rep_u.s_max, slacks=rep_u.slacks,
         strictly_feasible=jnp.logical_and(
-            cnts.satisfied_strictly(x), eq_err < pars.tol
+            cnts.satisfied_strictly(x), eq_err < _eq_tol(pars, x.dtype)
         ),
         eq_error=eq_err,
     )
@@ -174,7 +314,7 @@ def phase1_soi(
     return FeasibilityReport(
         x=x, s_max=jnp.max(s), slacks=s,
         strictly_feasible=jnp.logical_and(
-            cnts.satisfied_strictly(x), eq_err < pars.tol
+            cnts.satisfied_strictly(x), eq_err < _eq_tol(pars, x.dtype)
         ),
         eq_error=eq_err,
     )
@@ -215,6 +355,6 @@ def find_feasible_point(
     InfeasibleProblemError (ConstraintSet.scala:556-575)."""
     pars = pars or SolverParams()
     report = feasibility_analysis(cnts, x0, pars, eqs, method)
-    if not bool(report.is_feasible(pars.tol)):
+    if not bool(report.is_feasible(float(_eq_tol(pars, report.x.dtype)))):
         raise InfeasibleProblemError(report)
     return report.x

@@ -139,7 +139,9 @@ def primal_dual_solve(
                    <= (1.0 - pars.alpha * s) * norm_rt)
             return jnp.logical_and(feas, dec)
 
-        ss = s0 * pars.beta ** jnp.arange(ls_max, dtype=dtype)
+        _kk = jnp.arange(ls_max)
+        _expo = jnp.where(_kk < 32, _kk, 32 + 3 * (_kk - 32)).astype(dtype)
+        ss = s0 * pars.beta ** _expo
         accepts = jax.vmap(accept)(ss)
         ok = jnp.any(accepts)
         stalled = jnp.logical_not(ok)

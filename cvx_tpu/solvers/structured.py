@@ -91,7 +91,9 @@ def barrier_solve_structured(
     if delta is None:
         delta = 1e-10 if jnp.finfo(dtype).bits >= 64 else 3e-6
     t_max = 10.0 * pars.mu * m / pars.tol
-    ls_ts = pars.beta ** jnp.arange(pars.ls_max_steps, dtype=dtype)
+    _kk = jnp.arange(pars.ls_max_steps)
+    _expo = jnp.where(_kk < 32, _kk, 32 + 3 * (_kk - 32)).astype(dtype)
+    ls_ts = pars.beta ** _expo
 
     def barrier_val(t, x, d):
         return (t * obj.value(x) - jnp.sum(jnp.log(d))

@@ -43,6 +43,7 @@ class SolverParams:
     ls_max_steps: int = static_field(default=64)    # line-search candidates
     outer_max_iter: int = static_field(default=100) # barrier/PD outer cap
     kkt_method: str = static_field(default="aug")   # see ops.kkt
+    phase1_kkt_method: str = static_field(default="aug")  # phase-I solves
     kkt_refine: int = static_field(default=2)
     chol_delta: float | None = static_field(default=None)  # shift override
 
