@@ -134,3 +134,54 @@ class TestSchur:
         x_local, _ = separable_barrier_solve(prob, x0)
         x_shard, _ = separable_barrier_solve(prob, x0, kkt_solver=solver)
         assert jnp.allclose(x_local, x_shard, atol=1e-6)
+
+
+class TestFusedKLKernel:
+    """Pallas-fused whole-solve kernel vs the structured solver."""
+
+    def _problem(self, dt):
+        import numpy as np
+        n, B = 20, 4
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        I_B = np.zeros(n); I_B[n // 2:] = 1.0
+        Hs = jnp.tile(jnp.asarray(np.stack([-I_A, I_B]), dt)[None],
+                      (B, 1, 1))
+        pAs = jnp.linspace(0.30, 0.42, B).astype(dt)
+        u = jnp.stack([-pAs, jnp.full((B,), 0.1, dt)], axis=1)
+        A = jnp.ones((B, 1, n), dt)
+        b = jnp.ones((B, 1), dt)
+        x0 = jnp.tile(jnp.asarray(
+            np.where(np.arange(n) < 3, 0.45 / 3,
+                     np.where(np.arange(n) >= n // 2, 0.008, 0.47 / 7)),
+            dt)[None], (B, 1))
+        return n, B, Hs, u, A, b, x0
+
+    @pytest.mark.parametrize("dt", [jnp.float64, jnp.float32])
+    def test_matches_structured(self, dt):
+        from cvx_tpu.ops.pallas_kl import kl_barrier_fused
+        from cvx_tpu.models import DistKL
+        n, B, Hs, u, A, b, x0 = self._problem(dt)
+        xs = kl_barrier_fused(Hs, u, A, b, x0, interpret=True, bt=2)
+        assert bool(jnp.all(jnp.isfinite(xs)))
+        for i in range(B):
+            prob = DistKL.create(n, H=Hs[i], u=u[i], dtype=dt)
+            ref = prob.solve_jittable(x0[i], method="BR_fast")
+            f_fused = float(xs[i] @ jnp.log(n * xs[i]))
+            f_ref = float(ref.x @ jnp.log(n * ref.x))
+            assert abs(f_fused - f_ref) < 1e-3
+
+    def test_k1_rows(self):
+        import numpy as np
+        from cvx_tpu.ops.pallas_kl import kl_barrier_fused
+        n, B = 16, 2
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        Hs = jnp.tile(jnp.asarray(-I_A[None]), (B, 1))[:, None, :]
+        u = jnp.full((B, 1), -0.4)
+        A = jnp.ones((B, 1, n))
+        b = jnp.ones((B, 1))
+        x0 = jnp.tile(jnp.asarray(
+            np.where(np.arange(n) < 3, 0.5 / 3, 0.5 / (n - 3)))[None],
+            (B, 1))
+        xs = kl_barrier_fused(Hs, u, A, b, x0, interpret=True, bt=2)
+        assert float(jnp.max(jnp.abs(xs.sum(1) - 1.0))) < 1e-8
+        assert float(jnp.min(xs[:, :3].sum(1))) >= 0.4 - 1e-6
