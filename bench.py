@@ -78,29 +78,44 @@ def main():
         sol = prob.solve_jittable(x0, method=method, pars=pars)
         return sol.x, sol.duality_gap, sol.iters
 
-    solve = jax.jit(jax.vmap(solve_one))
+    vsolve = jax.vmap(solve_one)
 
-    # compile (not timed)
+    # timing methodology: REPS data-dependent chained solves inside one jit,
+    # then a forced host transfer — the remote-TPU execution pipeline can
+    # otherwise return from block_until_ready before real execution
+    reps = int(os.environ.get("BENCH_REPS", 3))
+
+    @jax.jit
+    def chained(pA, pB):
+        xs, gaps, iters = vsolve(pA, pB)
+
+        def body(i, carry):
+            pA_, xs, gaps, iters = carry
+            xs, gaps, iters = vsolve(pA_, pB)
+            return pA_ + 1e-12 * jnp.mean(xs), xs, gaps, iters
+
+        return jax.lax.fori_loop(
+            0, reps - 1, body, (pA + 1e-12 * jnp.mean(xs), xs, gaps, iters))
+
     t0 = time.perf_counter()
-    xs, gaps, iters = jax.block_until_ready(solve(pA, pB))
+    _, xs, gaps, iters = chained(pA, pB)
+    xs = np.asarray(xs)
     compile_s = time.perf_counter() - t0
 
-    # timed runs
-    reps = int(os.environ.get("BENCH_REPS", 3))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        xs, gaps, iters = jax.block_until_ready(solve(pA, pB))
-        times.append(time.perf_counter() - t0)
-    elapsed = min(times)
+    t0 = time.perf_counter()
+    _, xs, gaps, iters = chained(pA, pB)
+    xs = np.asarray(xs)
+    gaps = np.asarray(gaps)
+    iters = np.asarray(iters)
+    elapsed = (time.perf_counter() - t0) / reps
 
-    total_newton = int(jnp.sum(iters))
+    total_newton = int(np.sum(iters))
     newton_per_s = total_newton / elapsed
-    gap_max = float(jnp.max(gaps))
-    sums = jnp.abs(jnp.sum(xs, axis=1) - 1.0)
+    gap_max = float(np.max(gaps))
+    sums = np.abs(np.sum(xs.astype(np.float64), axis=1) - 1.0)
     log(f"compile: {compile_s:.1f}s  solve: {elapsed*1e3:.1f}ms  "
         f"newton_iters={total_newton} ({newton_per_s:,.0f}/s)  "
-        f"max gap={gap_max:.2e}  max |sum-1|={float(jnp.max(sums)):.2e}")
+        f"max gap={gap_max:.2e}  max |sum-1|={float(np.max(sums)):.2e}")
 
     instances_per_s = batch / elapsed
     # north star: 10k instances (n=100) in < 1 s  =>  10k instances/s
