@@ -4,12 +4,14 @@ consensus for block-separable programs.  The reference has no parallelism at
 all; this layer is new capability mandated by the north star."""
 
 from .batch import shard_solve, vmap_solve
-from .mesh import block_mesh, instance_mesh, shard_batch
+from .mesh import (block_mesh, init_distributed, instance_mesh,
+                   shard_batch)
 from .schur import (SeparableProblem, make_sharded_schur_solver,
                     schur_kkt_solve, separable_barrier_solve)
 
 __all__ = [
-    "shard_solve", "vmap_solve", "block_mesh", "instance_mesh",
+    "shard_solve", "vmap_solve", "block_mesh", "init_distributed",
+    "instance_mesh",
     "shard_batch", "SeparableProblem", "make_sharded_schur_solver",
     "schur_kkt_solve", "separable_barrier_solve",
 ]

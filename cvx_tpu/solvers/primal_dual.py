@@ -68,11 +68,18 @@ def primal_dual_solve(
     ls_max = int(-30.0 / jnp.log(pars.beta)) + 1
 
     if criterion is None:
+        # dtype-aware floors: residual norms bottom out at ~eps * scale, so
+        # absolute 1e-8 targets never fire in float32 (same rationale as
+        # barrier_solve)
+        eps = jnp.finfo(dtype).eps
+        gap_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 50.0 * eps)
+        res_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 1e3 * eps)
+
         def criterion(s: OptState):
-            ok = jnp.logical_and(s.duality_gap < pars.tol,
-                                 s.norm_dual_residual < pars.tol)
+            ok = jnp.logical_and(s.duality_gap < gap_tol,
+                                 s.norm_dual_residual < res_tol)
             if has_eqs:
-                ok = jnp.logical_and(ok, s.eq_gap < jnp.sqrt(pars.tol))
+                ok = jnp.logical_and(ok, s.eq_gap < jnp.sqrt(gap_tol))
             return ok
 
     def residual(t, x, lam, nu):
