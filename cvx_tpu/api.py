@@ -22,7 +22,7 @@ from .problem.equality import EqualityConstraint
 from .solvers.barrier import barrier_solve
 from .solvers.newton import newton_minimize, newton_minimize_eq
 from .solvers.phase1 import find_feasible_point
-from .solvers.types import NewtonResult, Solution, SolverParams
+from .solvers.types import Solution, SolverParams
 
 
 def minimize(

@@ -17,10 +17,9 @@ per-iteration console dumps.  On TPU the equivalents are:
 from __future__ import annotations
 
 import contextlib
-from typing import Any, Callable
+from typing import Any
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .problem.constraint_set import ConstraintSet

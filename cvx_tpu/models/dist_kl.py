@@ -28,15 +28,13 @@ thousands of scenario instances per device (the north-star batch workload).
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..duality import solve_dual
 from ..problem.constraint_set import ConstraintSet
-from ..problem.constraints import LinearBlock, positivity, rows_leq
+from ..problem.constraints import positivity, rows_leq
 from ..problem.equality import EqualityConstraint, sum_to_one
 
 from ..solvers.barrier import barrier_solve

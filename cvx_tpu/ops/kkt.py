@@ -35,8 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .cholesky import (chol_solve_factored, regularized_cholesky,
-                       relative_residual, tri_solve)
+from .cholesky import chol_solve_factored, regularized_cholesky
 from .eigsolve import sym_solve_eig
 from .equilibrate import ruiz_equilibrate
 

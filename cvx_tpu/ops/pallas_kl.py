@@ -46,52 +46,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _inv_small(M, k: int):
-    """Closed-form inverse of SYMMETRIC PSD (bt, k, k) for k in {1, 2}.
-
-    Mosaic rejects scalar extraction + stack on tiny-lane tensors, so the
-    2x2 adjugate is built algebraically:  adj(M) = sign * (J M J) with
-    J = antidiag(1, 1), and det = trace(M adj)/2 (adj symmetric since M is).
-    All operations are broadcasts and reductions.
-
-    A scale-relative shift floors the smallest eigenvalue: at deep barrier t
-    these matrices have condition ~1/eps and the f32 determinant cancels
-    catastrophically to zero without it (same regularization discipline as
-    ops.cholesky.regularized_cholesky).
-    """
-    dtype = M.dtype
-    delta = 1e-10 if jnp.finfo(dtype).bits >= 64 else 3e-6
-    if k == 1:
-        return 1.0 / (M + delta * M)
-    # two-step mean |diag| (Mosaic: no double-trailing reduce)
-    dmask = (lax.broadcasted_iota(jnp.int32, (2, 2), 0)
-             == lax.broadcasted_iota(jnp.int32, (2, 2), 1)).astype(dtype)
-    scale = 0.5 * jnp.sum(jnp.sum(jnp.abs(M) * dmask[None], axis=2,
-                                  keepdims=True), axis=1, keepdims=True)
-    M = M + (delta * scale) * dmask[None]
-    # build J (antidiagonal) and the sign mask from iota: pallas kernels may
-    # not capture array constants
-    ri = lax.broadcasted_iota(jnp.int32, (2, 2), 0)
-    ci = lax.broadcasted_iota(jnp.int32, (2, 2), 1)
-    J = (ri + ci == 1).astype(dtype)
-    sign = jnp.where(ri == ci, 1.0, -1.0).astype(dtype)
-    # J @ M: (bt, i, k) = sum_j J[i, j] M[b, j, k]
-    JM = jnp.sum(J[None, :, :, None] * M[:, None, :, :], axis=2)
-    # (J M) @ J
-    JMJ = jnp.sum(JM[:, :, :, None] * J[None, None, :, :], axis=2)
-    adj = sign[None] * JMJ
-    # two-step reduction (Mosaic rejects a single reduce over both trailing
-    # dims of a 3-D value)
-    det = 0.5 * jnp.sum(jnp.sum(M * adj, axis=2, keepdims=True),
-                        axis=1, keepdims=True)
-    return adj / det
 
 
 def _kl_fused_kernel(hs_ref, u_ref, a_ref, b_ref, x0_ref, x_ref, *,

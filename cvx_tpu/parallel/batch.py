@@ -14,7 +14,6 @@ pytree, so:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

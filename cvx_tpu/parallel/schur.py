@@ -27,7 +27,6 @@ blocks locally.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -20,13 +20,11 @@ Re-design of cvx/ConstraintSet.scala.  Holds a tuple of homogeneous blocks
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
-from ..tree import pytree_dataclass, static_field
-from .constraints import LinearBlock, NonlinearBlock, QuadBlock
+from ..tree import pytree_dataclass
+from .constraints import LinearBlock
 from .sets import Domain, whole_space
 
 

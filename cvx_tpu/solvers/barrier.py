@@ -23,7 +23,7 @@ from jax import lax
 from ..problem.constraint_set import ConstraintSet
 from ..problem.equality import EqualityConstraint
 from .newton import newton_minimize, newton_minimize_eq
-from .types import OptState, Solution, SolverParams, standard_criterion
+from .types import OptState, Solution, SolverParams
 
 
 def barrier_solve(

@@ -25,7 +25,7 @@ advantage of special structure in the matrix H", KKTSystem.scala:17-21).
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

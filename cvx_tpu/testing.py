@@ -14,7 +14,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .problem.constraint_set import ConstraintSet
 from .problem.constraints import LinearBlock, QuadBlock, positivity
