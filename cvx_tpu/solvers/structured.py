@@ -91,9 +91,10 @@ def barrier_solve_structured(
     if delta is None:
         delta = 1e-10 if jnp.finfo(dtype).bits >= 64 else 3e-6
     t_max = 10.0 * pars.mu * m / pars.tol
-    _kk = jnp.arange(pars.ls_max_steps)
-    _expo = jnp.where(_kk < 32, _kk, 32 + 3 * (_kk - 32)).astype(dtype)
-    ls_ts = pars.beta ** _expo
+    # the feasible step range is computed in closed form (all constraints are
+    # linear in s), so only a few Armijo candidates are needed below s_max
+    n_ls = min(pars.ls_max_steps, 12)
+    ls_ts = pars.beta ** jnp.arange(n_ls, dtype=dtype)
 
     def barrier_val(t, x, d):
         return (t * obj.value(x) - jnp.sum(jnp.log(d))
@@ -122,8 +123,12 @@ def barrier_solve_structured(
         q = dx @ g
         dec = -q / 2.0
 
-        # vectorized line search with precomputed directional quantities
+        # closed-form max feasible step (every constraint is linear in s):
+        #   x + s dx > 0  and  d - s (U dx) > 0
         Udx = U @ dx
+        sx = jnp.min(jnp.where(dx < 0, -x / dx, jnp.inf))
+        sd = jnp.min(jnp.where(Udx > 0, d / Udx, jnp.inf))
+        s_max = 0.99 * jnp.minimum(1.0 / 0.99, jnp.minimum(sx, sd))
         f0 = barrier_val(t, x, d)
 
         def accept(s):
@@ -132,12 +137,12 @@ def barrier_solve_structured(
             ok = jnp.logical_and(jnp.all(xs > 0), jnp.all(ds > 0))
             fs = jnp.where(ok, barrier_val(t, xs, ds), jnp.inf)
             armijo = fs <= f0 + pars.alpha * s * q
-            eq_ok = True  # A(x+s dx) - b = (1-s) (Ax-b): monotone
+            # A(x+s dx) - b = (1-s)(Ax-b): equality error is monotone in s
             return jnp.logical_and(ok, armijo)
 
-        acc = jax.vmap(accept)(ls_ts)
+        acc = jax.vmap(accept)(s_max * ls_ts)
         any_acc = jnp.any(acc)
-        s = jnp.where(any_acc, ls_ts[jnp.argmax(acc)], 0.0)
+        s = jnp.where(any_acc, s_max * ls_ts[jnp.argmax(acc)], 0.0)
         take = jnp.logical_and(dec > tol, any_acc)
         x_new = jnp.where(take, 1.0, 0.0) * (x + s * dx) + \
             jnp.where(take, 0.0, 1.0) * x
