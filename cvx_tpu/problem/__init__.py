@@ -6,6 +6,7 @@ cvx/ConstraintSet.scala, cvx/EqualityConstraint.scala, cvx/ConvexSet.scala).
 
 from .constraint_set import ConstraintSet
 from .constraints import (LinearBlock, NonlinearBlock, QuadBlock, abs_bounded,
+                          abs_sum_bounded,
                           expectation_lt, first_coordinates_positive,
                           half_norm2_bounded, positivity, rows_leq)
 from .equality import EqualityConstraint, expectation_eq, sum_to_one
@@ -17,7 +18,8 @@ from .sets import Domain, positive_orthant, whole_space
 
 __all__ = [
     "ConstraintSet", "LinearBlock", "NonlinearBlock", "QuadBlock",
-    "abs_bounded", "expectation_lt", "first_coordinates_positive",
+    "abs_bounded", "abs_sum_bounded", "expectation_lt",
+    "first_coordinates_positive",
     "half_norm2_bounded", "positivity", "rows_leq", "EqualityConstraint",
     "expectation_eq", "sum_to_one", "AffineObjective", "CustomObjective",
     "LinearObjective", "QuadraticObjective", "affine_pullback",

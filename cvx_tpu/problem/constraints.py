@@ -245,3 +245,16 @@ def half_norm2_bounded(n: int, ub: float, dtype=jnp.float64) -> QuadBlock:
         r=jnp.zeros((1,), dtype),
         ub=jnp.asarray([ub], dtype),
     )
+
+
+def abs_sum_bounded(n: int, p: int, q: int, ub: float,
+                    dtype=jnp.float64) -> LinearBlock:
+    """|x_p| + ... + |x_{q-1}| <= ub via the 2^(q-p) sign-combination rows
+    (Constraints.scala:252-296, MatrixUtils.scala:108-127).  Keep q - p
+    small — the row count is exponential, exactly as in the reference."""
+    from ..ops.testmat import sign_combination_matrix_padded
+
+    G = jnp.asarray(sign_combination_matrix_padded(n, p, q), dtype)
+    m = G.shape[0]
+    return LinearBlock(G=G, c=jnp.zeros((m,), dtype),
+                       ub=jnp.full((m,), ub, dtype))
