@@ -3,6 +3,6 @@ stack.  Dist_KL (Kullback–Leibler distance minimization) is the reference's
 primary use case (cvx/Dist_KL.scala, README.md:7-8)."""
 
 from .dist_kl import DistKL, KLObjective
-from .qp import QP, DiagQP
+from .qp import LP, QP, DiagQP
 
-__all__ = ["DistKL", "KLObjective", "QP", "DiagQP"]
+__all__ = ["DistKL", "KLObjective", "QP", "DiagQP", "LP"]

@@ -136,3 +136,19 @@ class DiagQP:
                        pars: SolverParams | None = None) -> Solution:
         return barrier_solve_structured(self, self.U, self.ub, self.A,
                                         self.b, feasible_point, pars)
+
+
+def LP(a, U=None, ub=None, A=None, b=None, dtype=None) -> DiagQP:
+    """Linear program  min a.x  s.t.  U x <= ub,  x > 0,  A x = b  as the
+    c = 0 member of the DiagQP structured family: the barrier Hessian is
+    diag(1/x^2) + low-rank, so LPs get the same O(n (k+p)^2) Newton steps
+    (the reference's zero-Hessian LP escape hatch, KKTSystem.scala:55-59,
+    becomes a fast path instead of a fallback)."""
+    dtype = dtype or jnp.result_type(float)
+    a = jnp.asarray(a, dtype)
+    n = a.shape[-1]
+    U = jnp.zeros((0, n), dtype) if U is None else jnp.asarray(U, dtype)
+    ub = jnp.zeros((0,), dtype) if ub is None else jnp.asarray(ub, dtype)
+    A = jnp.zeros((0, n), dtype) if A is None else jnp.asarray(A, dtype)
+    b = jnp.zeros((0,), dtype) if b is None else jnp.asarray(b, dtype)
+    return DiagQP(c=jnp.zeros((n,), dtype), a=a, U=U, ub=ub, A=A, b=b)

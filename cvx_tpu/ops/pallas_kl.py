@@ -134,8 +134,9 @@ def _kl_fused_kernel(hs_ref, u_ref, a_ref, b_ref, x0_ref, x_ref, *,
 
         Hig = solveH(g)
         Hia = solveH(a0)
-        S = rdot(a0, Hia)
-        S = S + delta * jnp.abs(S)              # (bt, 1), p = 1, scale-relative
+        # no shift on S: a consistent Schur solve preserves the equality
+        # exactly; shifting injects drift ~ delta * |A H^-1 g|
+        S = rdot(a0, Hia)                       # (bt, 1), p = 1
         rhs_eq = bb - rdot(a0, x)
         wv = -(rhs_eq + rdot(a0, Hig)) / S
         dx = -(Hig + Hia * wv) * valid

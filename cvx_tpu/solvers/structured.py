@@ -43,6 +43,12 @@ def _woodbury_solver(h: jax.Array, U: jax.Array, w: jax.Array,
     k = U.shape[0]
     inv_h = 1.0 / h
     UD = U * inv_h[None, :]                # (k, n) = U D^-1
+    if k == 0:
+        def solveH(r):
+            return (inv_h * r.T).T if r.ndim == 2 else inv_h * r
+
+        return solveH
+
     M = jnp.diag(1.0 / w) + UD @ U.T       # (k, k)
     # scale-RELATIVE shift (an absolute one would swamp M when H ~ t grows)
     scale = jnp.mean(jnp.abs(jnp.diag(M)))
@@ -52,7 +58,7 @@ def _woodbury_solver(h: jax.Array, U: jax.Array, w: jax.Array,
     def solveH(r):
         # r: (n,) or (n, q)
         Dr = (inv_h * r.T).T if r.ndim == 2 else inv_h * r
-        s = UD @ r if r.ndim == 2 else UD @ r
+        s = UD @ r
         y = jax.scipy.linalg.cho_solve((L, True), s)
         corr = UD.T @ y
         return Dr - corr
@@ -112,8 +118,10 @@ def barrier_solve_structured(
         Hig = solveH(g)                      # (n,)
         S = A @ HiAt                         # (p, p)
         S = 0.5 * (S + S.T)
-        S = S + (delta * jnp.mean(jnp.abs(jnp.diag(S)))) * \
-            jnp.eye(p, dtype=dtype)
+        # NO shift on S: the Schur solve computed consistently from the same
+        # (approximate) inner solver preserves A dx = rhs EXACTLY; a shift
+        # here injects equality drift ~ delta * ||H^-1 g||, which grows with
+        # t for LP-type objectives.  Requires A of full row rank.
         Ls = jnp.linalg.cholesky(S)
         rhs_eq = b - A @ x
         z = -(rhs_eq + A @ Hig)
@@ -127,7 +135,8 @@ def barrier_solve_structured(
         #   x + s dx > 0  and  d - s (U dx) > 0
         Udx = U @ dx
         sx = jnp.min(jnp.where(dx < 0, -x / dx, jnp.inf))
-        sd = jnp.min(jnp.where(Udx > 0, d / Udx, jnp.inf))
+        sd = (jnp.min(jnp.where(Udx > 0, d / Udx, jnp.inf))
+              if k > 0 else jnp.asarray(jnp.inf, dtype))
         s_max = 0.99 * jnp.minimum(1.0 / 0.99, jnp.minimum(sx, sd))
         f0 = barrier_val(t, x, d)
 

@@ -99,3 +99,30 @@ class TestAbsSum:
         assert bool(jnp.all(blk.value(x) <= blk.ub))
         x_bad = jnp.array([0.0, 1.5, -1.0, 0.0])
         assert not bool(jnp.all(blk.value(x_bad) <= blk.ub))
+
+
+class TestLP:
+    def test_simplex_lp(self):
+        # min a.x on the simplex -> all mass on argmin(a)
+        from cvx_tpu.models import LP
+        n = 8
+        a = jnp.linspace(2.0, 1.0, n)  # argmin at last coordinate
+        lp = LP(a, A=jnp.ones((1, n)), b=jnp.ones(1))
+        x0 = jnp.full((n,), 1.0 / n)
+        sol = lp.solve_jittable(x0)
+        assert float(sol.x[-1]) > 0.999
+        assert abs(float(sol.x.sum()) - 1.0) < 1e-6
+        assert float(sol.duality_gap) < 1e-8
+
+    def test_lp_with_dense_row(self):
+        from cvx_tpu.models import LP
+        n = 6
+        a = jnp.linspace(2.0, 1.0, n)
+        # cap the last coordinate's mass: x_{n-1} <= 0.3
+        U = jnp.zeros((1, n)).at[0, n - 1].set(1.0)
+        lp = LP(a, U=U, ub=jnp.asarray([0.3]),
+                A=jnp.ones((1, n)), b=jnp.ones(1))
+        sol = lp.solve_jittable(jnp.full((n,), 1.0 / n))
+        x = sol.x
+        assert abs(float(x[-1]) - 0.3) < 1e-3       # cap active
+        assert float(x[-2]) > 0.69                  # rest on next-best
