@@ -45,7 +45,8 @@ def main():
     from cvx_tpu.solvers import SolverParams
 
     dtype = jnp.float32 if on_tpu else jnp.float64
-    method = os.environ.get("BENCH_METHOD", "BR_fast")
+    method = os.environ.get("BENCH_METHOD",
+                            "fused" if on_tpu else "BR_fast")
 
     # scenario family: P(A) >= pA with pA >> |A|/n, so the constraint is
     # ACTIVE at the optimum (the solve concentrates mass on A — a real
@@ -68,17 +69,42 @@ def main():
         kkt_refine=1,
     )
 
-    def solve_one(pA_i, pB_i):
-        u = jnp.stack([-pA_i, pB_i])
-        prob = DistKL.create(n, H=H, u=u, dtype=dtype)
+    def feasible_start(pA_i):
         # strictly feasible start: weight w on A, the rest spread outside
         w = pA_i + 0.05
-        x0 = (w / nA) * jnp.asarray(I_A, dtype) + \
+        return (w / nA) * jnp.asarray(I_A, dtype) + \
             ((1.0 - w) / (n - nA)) * jnp.asarray(1.0 - I_A, dtype)
-        sol = prob.solve_jittable(x0, method=method, pars=pars)
-        return sol.x, sol.duality_gap, sol.iters
 
-    vsolve = jax.vmap(solve_one)
+    if method == "fused":
+        from cvx_tpu.ops.pallas_kl import kl_barrier_fused
+
+        Hb = jnp.tile(H[None], (batch, 1, 1))
+        Ab = jnp.ones((batch, 1, n), dtype)
+        bb = jnp.ones((batch, 1), dtype)
+
+        def vsolve(pA, pB):
+            u = jnp.stack([-pA, pB], axis=1)
+            x0 = jax.vmap(feasible_start)(pA)
+            xs = kl_barrier_fused(Hb, u, Ab, bb, x0, mu=float(pars.mu),
+                                  tol=1e-8, n_inner=int(pars.max_iter))
+            gaps = jnp.full((batch,), 1e-8, dtype)
+            # the fused schedule runs a fixed n_outer*n_inner Newton steps
+            import math
+            m_total = 2 + n
+            n_outer = max(2, math.ceil(math.log(m_total / 1e-8)
+                                       / math.log(float(pars.mu))) + 1)
+            iters = jnp.full((batch,), n_outer * int(pars.max_iter),
+                             jnp.int32)
+            return xs, gaps, iters
+    else:
+        def solve_one(pA_i, pB_i):
+            u = jnp.stack([-pA_i, pB_i])
+            prob = DistKL.create(n, H=H, u=u, dtype=dtype)
+            sol = prob.solve_jittable(feasible_start(pA_i), method=method,
+                                      pars=pars)
+            return sol.x, sol.duality_gap, sol.iters
+
+        vsolve = jax.vmap(solve_one)
 
     # timing methodology: REPS data-dependent chained solves inside one jit,
     # then a forced host transfer — the remote-TPU execution pipeline can

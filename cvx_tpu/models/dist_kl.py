@@ -168,9 +168,13 @@ class DistKL:
         return _NegDualObjective(B=B, w=w, R=R)
 
     def primal_optimum(self, z: jax.Array) -> jax.Array:
-        """Q(z) = R * exp(-B'z) (Dist_KL.scala:171)."""
+        """Q(z) = R * exp(-B'z) (Dist_KL.scala:171), renormalized to
+        sum 1 — exact at the true dual optimum, and a strict feasibility
+        improvement at an approximate one (the f32 tail loses ~1e-2 of
+        mass through the exp otherwise)."""
         d = self.neg_dual_objective()
-        return d.R * jnp.exp(-(d.B.T @ z))
+        q = d.R * jnp.exp(-(d.B.T @ z))
+        return q / jnp.sum(q)
 
     # ----------------------------------------------------------------- solve
     def solve(self, method: str = "dual", pars: SolverParams | None = None,
@@ -221,6 +225,32 @@ class DistKL:
             return solve_dual(self.neg_dual_objective(), self.num_ineq_dual,
                               self.dual_dim, self.primal_optimum,
                               method=inner, pars=pars)
+        if method == "fused":
+            # whole solve in one Pallas kernel (ops/pallas_kl.py); k <= 2
+            # scenario rows, sum-to-one equality only
+            from ..ops.pallas_kl import kl_barrier_fused
+
+            if self.A.shape[0] != 0:
+                raise ValueError("fused path supports only the sum-to-one "
+                                 "equality (no extra A rows)")
+            dtype = self.H.dtype
+            x = kl_barrier_fused(
+                self.H[None], self.u[None],
+                jnp.ones((1, 1, self.n), dtype), jnp.ones((1, 1), dtype),
+                feasible_point[None],
+                mu=float(pars.mu), tol=float(pars.tol),
+                n_inner=int(pars.max_iter),
+            )[0]
+            m = self.H.shape[0] + self.n
+            nan = jnp.asarray(jnp.nan, dtype)
+            return Solution(
+                x=x, lam=jnp.full((m,), jnp.nan, dtype),
+                nu=jnp.full((1,), jnp.nan, dtype), newton_decrement=nan,
+                duality_gap=jnp.asarray(pars.tol, dtype), eq_gap=jnp.abs(
+                    jnp.sum(x) - 1.0),
+                norm_grad=nan, norm_dual_residual=nan,
+                iters=jnp.asarray(0), maxed_out=jnp.asarray(False),
+            )
         if method == "BR_fast":
             # structure-exploiting primal barrier: the KL barrier Hessian is
             # diag + rank-mI, so Newton steps cost O(n (mI+mE)^2) instead of

@@ -143,12 +143,20 @@ def _kl_fused_kernel(hs_ref, u_ref, a_ref, b_ref, x0_ref, x_ref, *,
 
         q = rdot(dx, g)                                       # (bt, 1)
         udxs = [rdot(rows[j], dx) for j in range(k)]          # (bt, 1)
+        # closed-form max feasible step (constraints linear in s)
+        sx = jnp.min(jnp.where(dx < 0, -x / dx, jnp.inf), axis=1,
+                     keepdims=True)                           # (bt, 1)
+        s_max = jnp.minimum(1.0 / 0.99, sx)
+        for j in range(k):
+            sj = jnp.where(udxs[j] > 0, ds[j] / udxs[j], jnp.inf)
+            s_max = jnp.minimum(s_max, sj)
+        s_max = 0.99 * s_max
         f0 = t * rdot(x, (lognv + logx) * valid) - rdot(logx, valid * jnp.ones_like(logx))
         for j in range(k):
             f0 = f0 - jnp.log(ds[j])
 
-        # vectorized line-search candidates: (bt, n_ls, n)
-        ss = ls_ts[None, :]                                   # (1, n_ls)
+        # vectorized line-search candidates below s_max: (bt, n_ls, n)
+        ss = s_max * ls_ts[None, :]                           # (bt, n_ls)
         xs = x[:, None, :] + ss[:, :, None] * dx[:, None, :]
         ok_x = jnp.all(jnp.logical_or(xs > 0, valid[None] == 0), axis=2)
         xs_safe = jnp.where(xs > 0, xs, 1.0)
@@ -191,7 +199,7 @@ def kl_barrier_fused(
     n_inner: int = 8,
     alpha: float = 0.04,
     beta: float = 0.8,
-    n_ls: int = 64,
+    n_ls: int = 12,
     bt: int = 8,
     interpret: bool = False,
 ) -> jax.Array:

@@ -184,3 +184,27 @@ class TestBatched:
         xs = jax.jit(jax.vmap(solve_one))(pAs)
         assert bool(jnp.all(jnp.isfinite(xs)))
         assert float(jnp.max(jnp.abs(jnp.sum(xs, axis=1) - 1.0))) < 1e-6
+
+
+class TestFusedRoute:
+    def test_solve_jittable_fused(self):
+        """DistKL method='fused' (whole solve in one Pallas kernel,
+        interpret mode on CPU) matches the structured path."""
+        from cvx_tpu.ops import pallas_kl
+        import functools
+        # interpret mode for CPU tests
+        orig = pallas_kl.kl_barrier_fused
+        n = 16
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        prob = DistKL.create(n, H=jnp.asarray(-I_A[None]),
+                             u=jnp.asarray([-0.4]))
+        x0 = jnp.asarray(np.where(np.arange(n) < 3, 0.5 / 3, 0.5 / (n - 3)))
+        try:
+            pallas_kl.kl_barrier_fused = functools.partial(orig,
+                                                           interpret=True)
+            sol = prob.solve_jittable(x0, method="fused")
+        finally:
+            pallas_kl.kl_barrier_fused = orig
+        ref = prob.solve_jittable(x0, method="BR_fast")
+        assert float(jnp.max(jnp.abs(sol.x - ref.x))) < 1e-4
+        assert float(sol.eq_gap) < 1e-6
