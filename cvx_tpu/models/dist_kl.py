@@ -194,13 +194,16 @@ class DistKL:
                 self.dual_dim, self.primal_optimum,
                 method=inner, pars=pars,
             )
-        if method not in ("BR", "PD"):
+        if method not in ("BR", "PD", "fused", "BR_fast"):
             raise ValueError(f"unknown method: {method!r}")
         cnts = self.inequalities
         eqs = self.equalities
         if feasible_point is None:
             x0 = jnp.full((self.n,), 1.0 / self.n, self.H.dtype)
             feasible_point = find_feasible_point(cnts, x0, pars, eqs)
+        if method in ("fused", "BR_fast"):
+            return self.solve_jittable(feasible_point, method=method,
+                                       pars=pars)
         if method == "BR":
             return barrier_solve(self.objective, cnts, feasible_point, pars,
                                  eqs=eqs)
