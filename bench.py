@@ -62,7 +62,7 @@ def main():
     pB = jax.random.uniform(jax.random.PRNGKey(1), (batch,), dtype, 0.55, 0.8)
 
     pars = SolverParams(
-        max_iter=int(os.environ.get("BENCH_MAX_ITER", 4)),
+        max_iter=int(os.environ.get("BENCH_MAX_ITER", 3)),
         mu=float(os.environ.get("BENCH_MU", 30.0)),  # long-step continuation
         tol=1e-8,                  # duality-gap target m/t < 1e-8
         kkt_method="chol",         # KL barrier Hessians are PD

@@ -6,7 +6,8 @@ from .cholesky import (back_solve, chol_solve_factored, cholesky_solve,
                        forward_solve, regularized_cholesky, relative_residual,
                        tri_solve)
 from .eigsolve import sym_solve_eig
-from .equilibrate import ruiz_equilibrate
+from .equilibrate import (check_symmetric, condition_number,
+                          hs_norm, ruiz_equilibrate)
 from .kkt import kkt_solve, sym_solve
 from .nullspace import SolutionSpace, solution_space
 from .pallas_chol import cholesky_batched, cholesky_batched_pallas
@@ -20,7 +21,8 @@ from .testmat import (decaying_spectrum, nasty_rhs, random_orthogonal,
 __all__ = [
     "back_solve", "chol_solve_factored", "cholesky_solve", "forward_solve",
     "regularized_cholesky", "relative_residual", "tri_solve", "sym_solve_eig",
-    "ruiz_equilibrate", "kkt_solve", "sym_solve", "SolutionSpace",
+    "ruiz_equilibrate", "check_symmetric", "condition_number",
+    "hs_norm", "kkt_solve", "sym_solve", "SolutionSpace",
     "solution_space", "cholesky_batched", "cholesky_batched_pallas",
     "UnsolvableSystemError", "free_coordinates", "pad_solution",
     "reduce_kkt", "bisect", "newton_1d", "decaying_spectrum", "nasty_rhs", "random_orthogonal",

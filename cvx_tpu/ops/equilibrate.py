@@ -61,3 +61,19 @@ def ruiz_equilibrate(
 def apply_equilibration(d: jax.Array, b: jax.Array) -> jax.Array:
     """Scale a right-hand side (or unscale a solution): ``d * b``."""
     return d * b
+
+
+def hs_norm(A: jax.Array) -> jax.Array:
+    """Hilbert-Schmidt (Frobenius) norm (MatrixUtils.scala:19, 204)."""
+    return jnp.sqrt(jnp.sum(A * A))
+
+
+def check_symmetric(Q: jax.Array, tol: float = 1e-13) -> jax.Array:
+    """||Q - Q^T||_F < tol (MatrixUtils.scala:207-211)."""
+    return hs_norm(Q - jnp.swapaxes(Q, -1, -2)) < tol
+
+
+def condition_number(H: jax.Array) -> jax.Array:
+    """sigma_max / sigma_min via SVD (MatrixUtils.scala:218-223)."""
+    s = jnp.linalg.svd(H, compute_uv=False)
+    return jnp.max(s, axis=-1) / jnp.min(s, axis=-1)

@@ -224,3 +224,18 @@ class TestSignCombinations:
         M = ops.sign_combination_matrix(3)
         assert M.shape == (8, 3)
         assert len({tuple(r) for r in M.tolist()}) == 8
+
+
+class TestMiscHelpers:
+    def test_hs_norm_and_symmetry(self, key):
+        A = jax.random.normal(key, (5, 5))
+        assert abs(float(ops.hs_norm(A))
+                   - float(jnp.linalg.norm(A))) < 1e-12
+        S = A + A.T
+        assert bool(ops.check_symmetric(S))
+        assert not bool(ops.check_symmetric(A))
+
+    def test_condition_number(self, key):
+        H = ops.random_spd(key, 20, cond=1e6)
+        c = float(ops.condition_number(H))
+        assert 1e5 < c < 1e7
