@@ -63,7 +63,7 @@ def main():
 
     pars = SolverParams(
         max_iter=int(os.environ.get("BENCH_MAX_ITER", 3)),
-        mu=float(os.environ.get("BENCH_MU", 30.0)),  # long-step continuation
+        mu=float(os.environ.get("BENCH_MU", 55.0)),  # long-step continuation
         tol=1e-8,                  # duality-gap target m/t < 1e-8
         kkt_method="chol",         # KL barrier Hessians are PD
         kkt_refine=1,
