@@ -71,6 +71,7 @@ def minimize(
             newton_decrement=res.newton_decrement,
             duality_gap=nan, eq_gap=res.eq_gap, norm_grad=res.norm_grad,
             norm_dual_residual=nan, iters=res.iters, maxed_out=res.maxed_out,
+            stalled=res.stalled,
         )
 
     if feasible_point is None:

@@ -38,9 +38,14 @@ def trace(log_dir: str = "/tmp/cvx_tpu_trace"):
 
 
 def solve_stats(sol) -> dict:
-    """Summary counters for a Solution (batched or single)."""
+    """Summary counters for a Solution (batched or single).
+
+    ``stalled_frac``/``maxed_out_frac`` surface the per-instance failure
+    flags (Solution.status) so a batch with poisoned instances reports them
+    instead of silently returning non-converged iterates."""
     iters = np.asarray(sol.iters)
     gap = np.asarray(sol.duality_gap)
+    stalled = np.asarray(sol.stalled)
     return {
         "num_instances": int(iters.size),
         "newton_iters_total": int(iters.sum()),
@@ -49,6 +54,9 @@ def solve_stats(sol) -> dict:
         "gap_max": float(np.max(gap)),
         "gap_median": float(np.median(gap)),
         "maxed_out_frac": float(np.mean(np.asarray(sol.maxed_out))),
+        "stalled_frac": float(np.mean(stalled)),
+        "stalled_instances": np.flatnonzero(
+            np.atleast_1d(stalled)).tolist()[:32],
     }
 
 

@@ -86,6 +86,54 @@ class _NegDualObjective:
         return jnp.einsum("in,n,jn->ij", self.B, y, self.B)
 
 
+def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8):
+    """MEASURED duality-gap certificate for the KL problem at iterate ``x``.
+
+    ``H`` (k, n) / ``u`` (k,) are the scenario inequality rows; ``A`` (p, n) /
+    ``b`` (p,) the FULL equality system (sum-to-one row included).
+
+    For ANY lam >= 0 and ANY nu the KL dual function has the closed form
+    (Dist_KL.scala:146-165, docs/maxent.pdf)
+
+        g(lam, nu) = -(w.z + sum_j R_j exp(-(B'z)_j)),   B = [H; A],
+        w = (u, b),  R = 1/(n e),  z = (lam, nu),
+
+    a TRUE lower bound on the primal optimum — so f(x) - g(z) is an honest
+    certificate, unlike the central-path bound m/t which holds only at the
+    exact central point.  The bound is LINEARLY sensitive to multipliers on
+    inactive constraints (dg/dlam_i = -slack_i), so after a least-squares
+    fit of the stationarity residual log(n x) + 1 + B'z = 0 the dual point
+    is sharpened by a few projected-Newton steps on -g itself (monotone:
+    each step can only improve a valid bound).  Returns ``(gap, z)``.
+    O(n (k+p)^2 * polish_steps) per instance; jittable and vmappable.
+    """
+    from ..duality import _polish_dual
+
+    n = x.shape[0]
+    dtype = x.dtype
+    k = H.shape[0]
+    B = jnp.concatenate([H, A], axis=0)          # (k+p, n)
+    w = jnp.concatenate([u, b])
+    R = jnp.full((n,), 1.0 / (n * np.e), dtype)
+    dim = B.shape[0]
+    mask = jnp.arange(dim) < k
+
+    # init: least-squares fit of B'z = -(1 + log(n x)), lam clamped >= 0
+    c = -(1.0 + jnp.log(n * x))
+    BBt = B @ B.T
+    BBt = BBt + (10 * jnp.finfo(dtype).eps
+                 * jnp.mean(jnp.abs(jnp.diag(BBt)))
+                 * jnp.eye(dim, dtype=dtype))
+    z = jnp.linalg.solve(BBt, B @ c)
+    z = jnp.where(mask, jnp.maximum(z, 0.0), z)
+
+    neg_dual = _NegDualObjective(B=B, w=w, R=R)
+    z = _polish_dual(neg_dual, z, num_ineq=k, steps=polish_steps)
+    dual_val = -neg_dual.value(z)
+    primal_val = x @ jnp.log(n * x)
+    return primal_val - dual_val, z
+
+
 @pytree_dataclass
 class DistKL:
     """The KL-minimization problem (canonical form: empty blocks allowed).
@@ -229,31 +277,49 @@ class DistKL:
                               self.dual_dim, self.primal_optimum,
                               method=inner, pars=pars)
         if method == "fused":
-            # whole solve in one Pallas kernel (ops/pallas_kl.py); k <= 2
-            # scenario rows, sum-to-one equality only
-            from ..ops.pallas_kl import kl_barrier_fused
+            # whole solve in one Pallas kernel (ops/pallas_kl.py).  The
+            # kernel's closed-form algebra covers 1 <= k <= 2 scenario rows
+            # and the sum-to-one equality only; any other valid DistKL shape
+            # silently falls back to the structured XLA path (BR_fast), so
+            # 'fused' never raises on a well-formed problem.
+            k = self.H.shape[0]
+            if self.A.shape[0] != 0 or not (1 <= k <= 2):
+                method = "BR_fast"
+            else:
+                from ..ops.pallas_kl import (fused_final_t, fused_n_outer,
+                                             kl_barrier_fused)
 
-            if self.A.shape[0] != 0:
-                raise ValueError("fused path supports only the sum-to-one "
-                                 "equality (no extra A rows)")
-            dtype = self.H.dtype
-            x = kl_barrier_fused(
-                self.H[None], self.u[None],
-                jnp.ones((1, 1, self.n), dtype), jnp.ones((1, 1), dtype),
-                feasible_point[None],
-                mu=float(pars.mu), tol=float(pars.tol),
-                n_inner=int(pars.max_iter),
-            )[0]
-            m = self.H.shape[0] + self.n
-            nan = jnp.asarray(jnp.nan, dtype)
-            return Solution(
-                x=x, lam=jnp.full((m,), jnp.nan, dtype),
-                nu=jnp.full((1,), jnp.nan, dtype), newton_decrement=nan,
-                duality_gap=jnp.asarray(pars.tol, dtype), eq_gap=jnp.abs(
-                    jnp.sum(x) - 1.0),
-                norm_grad=nan, norm_dual_residual=nan,
-                iters=jnp.asarray(0), maxed_out=jnp.asarray(False),
-            )
+                dtype = self.H.dtype
+                # the fused kernel runs a FIXED branch-free schedule;
+                # pars.max_iter (default 1000) is the per-inner-solve cap of
+                # the iterative solvers, not a sensible step count here —
+                # cap it at the kernel's tuned default
+                n_inner = min(int(pars.max_iter), 8)
+                x = kl_barrier_fused(
+                    self.H[None], self.u[None],
+                    jnp.ones((1, 1, self.n), dtype), jnp.ones((1, 1), dtype),
+                    feasible_point[None],
+                    mu=float(pars.mu), tol=float(pars.tol), n_inner=n_inner,
+                )[0]
+                m = k + self.n
+                n_outer = fused_n_outer(m, mu=float(pars.mu),
+                                        tol=float(pars.tol))
+                t_final = fused_final_t(m, mu=float(pars.mu),
+                                        tol=float(pars.tol), n_outer=n_outer)
+                # MEASURED duality-gap certificate at the returned iterate
+                # (not the central-path constant m/t — see kl_dual_gap)
+                A_full = jnp.ones((1, self.n), dtype)
+                b_full = jnp.ones((1,), dtype)
+                gap, z = kl_dual_gap(self.H, self.u, A_full, b_full, x)
+                lam = jnp.concatenate([z[:k], 1.0 / (t_final * x)])
+                nan = jnp.asarray(jnp.nan, dtype)
+                return Solution(
+                    x=x, lam=lam, nu=z[k:], newton_decrement=nan,
+                    duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
+                    norm_grad=nan, norm_dual_residual=nan,
+                    iters=jnp.asarray(n_outer * n_inner),
+                    maxed_out=jnp.asarray(False), stalled=jnp.asarray(False),
+                )
         if method == "BR_fast":
             # structure-exploiting primal barrier: the KL barrier Hessian is
             # diag + rank-mI, so Newton steps cost O(n (mI+mE)^2) instead of

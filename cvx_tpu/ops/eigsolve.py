@@ -57,3 +57,35 @@ def sym_solve_eig(H: jax.Array, b: jax.Array, *, tol: float = 1e-10):
     best = jnp.argmin(res)
     x = V @ z_all[best]
     return x, relative_residual(H, x, b, tol)
+
+
+@partial(jax.jit, static_argnames=())
+def svd_solve(A: jax.Array, b: jax.Array, *, tol: float = 1e-10):
+    """Solve general (possibly non-symmetric / singular) ``A x = b`` via SVD
+    with the same Tikhonov sweep (MatrixUtils.scala:712-729).
+
+    Returns ``(x, relres)``.  With A = U diag(s) V', candidates are the
+    truncated pseudo-inverse solution and the Tikhonov family
+    z_j = s_j c_j / (s_j^2 + delta) in the singular basis; the best true
+    residual wins.  The non-symmetric fallback of
+    SymmetricLinearSystem.scala:28-55 ('if not symmetric -> svdSolve').
+    """
+    U, s, Vt = jnp.linalg.svd(A, full_matrices=False)
+    c = U.T @ b
+    s_max = jnp.maximum(jnp.max(s), jnp.finfo(A.dtype).tiny)
+    nonzero = s > jnp.finfo(A.dtype).eps * s_max
+
+    z_pinv = jnp.where(nonzero, c / jnp.where(nonzero, s, 1.0), 0.0)
+    deltas = 1e-14 * (10.0 ** jnp.arange(_NUM_DELTAS, dtype=A.dtype))
+    deltas = deltas * s_max**2  # scale-invariant sweep
+    z_tik = (s * c)[None, :] / (s[None, :] ** 2 + deltas[:, None])
+
+    z_all = jnp.concatenate([z_pinv[None, :], z_tik], axis=0)
+    # residual in the singular basis: ||A V' z - b|| >= ||diag(s) z - c||
+    # with equality on range(U); score by the true residual to also penalize
+    # the out-of-range component of b
+    res = jnp.linalg.norm(
+        jnp.einsum("ij,kj->ki", A, z_all @ Vt) - b[None, :], axis=1)
+    best = jnp.argmin(res)
+    x = Vt.T @ z_all[best]
+    return x, relative_residual(A, x, b, tol)

@@ -212,3 +212,36 @@ def sym_solve(
         x, relres = lax.cond(relres <= tol, lambda _: (x, relres), escalate,
                              operand=None)
     return x, relres
+
+
+@partial(jax.jit, static_argnames=("refine",))
+def lin_solve(
+    A: jax.Array,
+    b: jax.Array,
+    *,
+    delta: float | None = None,
+    refine: int = 2,
+    tol: float = 1e-10,
+    sym_tol: float = 1e-12,
+):
+    """General square solve with the reference's symmetry dispatch
+    (SymmetricLinearSystem.scala:28-55): symmetric to tolerance -> the
+    equilibrated Cholesky/eig path; non-symmetric -> ``svd_solve``.
+
+    The symmetry test is data-dependent, so under jit it becomes a
+    ``lax.cond`` (both branches trace; intended for single-instance use).
+    Returns ``(x, relres)``.
+    """
+    from .eigsolve import svd_solve
+
+    scale = jnp.maximum(jnp.max(jnp.abs(A)), jnp.finfo(A.dtype).tiny)
+    asym = jnp.max(jnp.abs(A - A.T)) / scale
+
+    def sym_path(_):
+        return sym_solve(A, b, method="ladder", delta=delta, refine=refine,
+                         tol=tol)
+
+    def svd_path(_):
+        return svd_solve(A, b, tol=tol)
+
+    return lax.cond(asym <= sym_tol, sym_path, svd_path, operand=None)

@@ -23,19 +23,20 @@ recipe in cvx/BarrierSolver.scala + cvx/KKTSystem.scala specialized by the
 structure argument of KKTSystem.scala:17-21.
 
 MEASURED (TPU v5e, 10k instances, n=100, f32, chained execution with forced
-transfers so the remote-execution pipeline cannot hide latency):
+transfers so the remote-execution pipeline cannot hide latency; after the
+closed-form feasible-step bound shrank the line-search tensor to n_ls = 12
+candidates and the continuation was tuned to mu = 55 with 3 Newton
+steps/stage — see bench.py):
 
-    XLA structured path (solvers/structured.py):  186.5 ms / batch solve
-    this fused kernel:                            254.4 ms / batch solve
+    XLA structured path (solvers/structured.py):  171 ms / batch solve
+    this fused kernel:                             99 ms / batch solve
 
-Both exceed the 10k-instances/s north star by >4x; the XLA path stays the
-default.  Two earlier kernel formulations were killed by Mosaic behavior
-worth recording: (a) tiny-dimension tensors ((bt,k,k) matrices, 4-D
-broadcast-reduces) get scalarized, ~1000x slower; the current version
-unrolls the k<=2/p=1 algebra into (bt, n) rows and (bt, 1) scalars;
-(b) jnp.stack/scalar-extraction on small tensors and reductions over both
-trailing dims fail to lower.  Remaining gap vs XLA: the (bt, n_ls, n)
-line-search tensor dominates both paths and XLA pipelines it better.
+This kernel is the TPU bench default (bench.py BENCH_METHOD=fused).  Two
+earlier kernel formulations were killed by Mosaic behavior worth recording:
+(a) tiny-dimension tensors ((bt,k,k) matrices, 4-D broadcast-reduces) get
+scalarized, ~1000x slower; the current version unrolls the k<=2/p=1 algebra
+into (bt, n) rows and (bt, 1) scalars; (b) jnp.stack/scalar-extraction on
+small tensors and reductions over both trailing dims fail to lower.
 """
 
 from __future__ import annotations
@@ -50,6 +51,26 @@ from jax.experimental import pallas as pl
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def fused_n_outer(m_total: int, *, t0: float = 1.0, mu: float = 30.0,
+                  tol: float = 1e-8) -> int:
+    """Number of continuation stages so the terminal central-path bound
+    m/t = m_total / (t0 * mu^(n_outer-1)) is below ``tol``.  Shared by the
+    kernel and by callers that need the terminal t for the measured
+    duality-gap certificate (models/dist_kl.py::kl_dual_gap)."""
+    import math
+
+    return max(2, math.ceil(
+        math.log(m_total / (tol * t0)) / math.log(mu)) + 1)
+
+
+def fused_final_t(m_total: int, *, t0: float = 1.0, mu: float = 30.0,
+                  tol: float = 1e-8, n_outer: int | None = None) -> float:
+    """Terminal barrier parameter of the fixed fused schedule."""
+    if n_outer is None:
+        n_outer = fused_n_outer(m_total, t0=t0, mu=mu, tol=tol)
+    return t0 * mu ** (n_outer - 1)
 
 
 def _kl_fused_kernel(hs_ref, u_ref, a_ref, b_ref, x0_ref, x_ref, *,
@@ -211,17 +232,16 @@ def kl_barrier_fused(
     past the target is avoided deliberately — at extreme t the active-
     constraint margins (~1/t) underflow the closed-form 2x2 algebra.
     """
-    import math
-
     B, k, n = Hs.shape
     p = A.shape[1]
     if n_outer is None:
-        m_total = k + n
-        n_outer = max(2, math.ceil(
-            math.log(m_total / (tol * t0)) / math.log(mu)) + 1)
-    if k > 2 or p > 2:
-        raise ValueError("fused kernel supports k <= 2 scenario rows and "
-                         "p <= 2 equality rows (closed-form inverses)")
+        n_outer = fused_n_outer(k + n, t0=t0, mu=mu, tol=tol)
+    if not (1 <= k <= 2) or p != 1:
+        raise ValueError(
+            f"fused kernel supports 1 <= k <= 2 scenario rows (got k={k}) "
+            f"and exactly p = 1 equality row (got p={p}); use "
+            "DistKL.solve(method='fused') which falls back to the "
+            "structured XLA path for other shapes")
     dtype = Hs.dtype
     lane = 128 if not interpret else 8
     npad = _round_up(n, lane)

@@ -195,8 +195,12 @@ def separable_barrier_solve(
             # vectorized backtracking (see newton._backtrack)
             ss = pars.beta ** jnp.arange(pars.ls_max_steps, dtype=dtype)
             accepts = jax.vmap(accept)(ss)
-            s = jnp.where(jnp.any(accepts), ss[jnp.argmax(accepts)], 0.0)
-            x_new = x + s * dx
+            # true select + finiteness guard: with s = 0 and a non-finite
+            # Newton direction, x + s * dx would be NaN (0 * inf)
+            take = jnp.logical_and(jnp.any(accepts),
+                                   jnp.all(jnp.isfinite(dx)))
+            s = jnp.where(take, ss[jnp.argmax(accepts)], 0.0)
+            x_new = jnp.where(take, x + s * dx, x)
             eq_err = jnp.linalg.norm(
                 jnp.einsum("kpn,kn->p", prob.C, x_new) - prob.c)
             dec = jnp.where(s > 0, dec, 0.0)  # stalled -> exit via dec

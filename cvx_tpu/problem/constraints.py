@@ -38,6 +38,7 @@ class LinearBlock:
     G: jax.Array   # (m, n)
     c: jax.Array   # (m,)
     ub: jax.Array  # (m,)
+    label: str | None = static_field(default=None)  # for violation reports
 
     @property
     def m(self) -> int:
@@ -61,17 +62,18 @@ class LinearBlock:
         """g(x) - s <= ub in dimension n+1 (slack appended last)."""
         col = -jnp.ones((self.m, 1), self.G.dtype)
         return LinearBlock(G=jnp.concatenate([self.G, col], axis=1),
-                           c=self.c, ub=self.ub)
+                           c=self.c, ub=self.ub, label=self.label)
 
     def lift_soi(self, n_total: int, offset: int):
         """g_i(x) - s_{offset+i} <= ub_i in dimension dim + n_total."""
         S = jnp.zeros((self.m, n_total), self.G.dtype)
         S = S.at[jnp.arange(self.m), offset + jnp.arange(self.m)].set(-1.0)
         return LinearBlock(G=jnp.concatenate([self.G, S], axis=1),
-                           c=self.c, ub=self.ub)
+                           c=self.c, ub=self.ub, label=self.label)
 
     def affine_pullback(self, z, F):
-        return LinearBlock(G=self.G @ F, c=self.c + self.G @ z, ub=self.ub)
+        return LinearBlock(G=self.G @ F, c=self.c + self.G @ z, ub=self.ub,
+                           label=self.label)
 
 
 @pytree_dataclass
@@ -82,6 +84,7 @@ class QuadBlock:
     a: jax.Array   # (m, n)
     r: jax.Array   # (m,)
     ub: jax.Array  # (m,)
+    label: str | None = static_field(default=None)  # for violation reports
 
     @property
     def m(self) -> int:
@@ -106,7 +109,7 @@ class QuadBlock:
         m, n = self.a.shape
         a = jnp.concatenate([self.a, -jnp.ones((m, 1), self.a.dtype)], axis=1)
         P = jnp.pad(self.P, ((0, 0), (0, 1), (0, 1)))
-        return QuadBlock(P=P, a=a, r=self.r, ub=self.ub)
+        return QuadBlock(P=P, a=a, r=self.r, ub=self.ub, label=self.label)
 
     def lift_soi(self, n_total: int, offset: int):
         m, n = self.a.shape
@@ -114,7 +117,7 @@ class QuadBlock:
         S = S.at[jnp.arange(m), offset + jnp.arange(m)].set(-1.0)
         a = jnp.concatenate([self.a, S], axis=1)
         P = jnp.pad(self.P, ((0, 0), (0, n_total), (0, n_total)))
-        return QuadBlock(P=P, a=a, r=self.r, ub=self.ub)
+        return QuadBlock(P=P, a=a, r=self.r, ub=self.ub, label=self.label)
 
     def affine_pullback(self, z, F):
         az = self.a + jnp.einsum("mij,j->mi", self.P, z)
@@ -124,6 +127,7 @@ class QuadBlock:
             r=self.r + self.a @ z
             + 0.5 * jnp.einsum("mij,i,j->m", self.P, z, z),
             ub=self.ub,
+            label=self.label,
         )
 
 
@@ -136,6 +140,7 @@ class NonlinearBlock:
     ub: jax.Array = None
     num: int = static_field(default=0)      # m (static: shapes)
     in_dim: int = static_field(default=0)   # n
+    label: str | None = static_field(default=None)  # for violation reports
 
     @property
     def m(self) -> int:
@@ -165,7 +170,8 @@ class NonlinearBlock:
             return fn(params, xs[:-1]) - xs[-1]
 
         return NonlinearBlock(fn=lifted, params=self.params, ub=self.ub,
-                              num=self.num, in_dim=self.in_dim + 1)
+                              num=self.num, in_dim=self.in_dim + 1,
+                              label=self.label)
 
     def lift_soi(self, n_total: int, offset: int):
         fn, n, m = self.fn, self.in_dim, self.num
@@ -174,7 +180,8 @@ class NonlinearBlock:
             return fn(params, xs[:n]) - xs[n + offset:n + offset + m]
 
         return NonlinearBlock(fn=lifted, params=self.params, ub=self.ub,
-                              num=self.num, in_dim=n + n_total)
+                              num=self.num, in_dim=n + n_total,
+                              label=self.label)
 
     def affine_pullback(self, z, F):
         fn = self.fn
@@ -184,7 +191,8 @@ class NonlinearBlock:
             return fn(inner, z_ + F_ @ u)
 
         return NonlinearBlock(fn=pulled, params=(self.params, z, F),
-                              ub=self.ub, num=self.num, in_dim=F.shape[1])
+                              ub=self.ub, num=self.num, in_dim=F.shape[1],
+                              label=self.label)
 
 
 # ---------------------------------------------------------------------------
@@ -198,18 +206,23 @@ def positivity(n: int, dtype=jnp.float64) -> LinearBlock:
         G=-jnp.eye(n, dtype=dtype),
         c=jnp.zeros((n,), dtype),
         ub=jnp.zeros((n,), dtype),
+        label="positivity",
     )
 
 
 def first_coordinates_positive(n: int, m: int, dtype=jnp.float64) -> LinearBlock:
     """x_0..x_{m-1} >= 0 in dimension n (Constraints.scala:42-49)."""
     G = jnp.zeros((m, n), dtype).at[jnp.arange(m), jnp.arange(m)].set(-1.0)
-    return LinearBlock(G=G, c=jnp.zeros((m,), dtype), ub=jnp.zeros((m,), dtype))
+    return LinearBlock(G=G, c=jnp.zeros((m,), dtype),
+                       ub=jnp.zeros((m,), dtype),
+                       label="first_coordinates_positive")
 
 
-def rows_leq(H: jax.Array, u: jax.Array) -> LinearBlock:
+def rows_leq(H: jax.Array, u: jax.Array,
+             label: str = "rows_leq") -> LinearBlock:
     """Coordinatewise H x <= u (ConstraintSet.scala:621-638)."""
-    return LinearBlock(G=H, c=jnp.zeros((H.shape[0],), H.dtype), ub=u)
+    return LinearBlock(G=H, c=jnp.zeros((H.shape[0],), H.dtype), ub=u,
+                       label=label)
 
 
 def expectation_lt(w: jax.Array, r: float) -> LinearBlock:

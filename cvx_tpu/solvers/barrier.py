@@ -82,8 +82,15 @@ def barrier_solve(
         # outer_max_iter bound the loop.
         return go
 
+    # a line-search stall is benign once the continuation gap m/t is near
+    # the target (extreme-t barrier arithmetic runs out of mantissa and the
+    # decrement is cancellation-inflated); a REAL failure stalls while the
+    # gap bound is still far above tol.  Sticky across stages.
+    hard_stall_gap = jnp.sqrt(jnp.maximum(
+        jnp.asarray(pars.tol, dtype), 50.0 * eps))
+
     def body(carry):
-        x, t, _, _, _, it, n_newton, _, t_active = carry
+        x, t, _, _, _, it, n_newton, hard, t_active = carry
 
         def fgh(x_):
             return cnts.barrier_value_grad_hess(obj, t, x_)
@@ -98,6 +105,8 @@ def barrier_solve(
 
         gap = m / t
         fval = obj.value(res.x)
+        hard = jnp.logical_or(hard, jnp.logical_and(
+            res.stalled, gap > hard_stall_gap))
         # track the last t at which the iterate actually moved: at high t in
         # low precision the Newton math drops below roundoff and x freezes —
         # the dual estimate must use the t x actually tracks, not the final
@@ -105,7 +114,7 @@ def barrier_solve(
         moved = jnp.any(res.x != x)
         t_active = jnp.where(moved, t, t_active)
         return (res.x, pars.mu * t, gap, eq_gap, fval, it + 1,
-                n_newton + res.iters, res.stalled, t_active)
+                n_newton + res.iters, hard, t_active)
 
     init = (x0, jnp.asarray(t0, dtype), inf, inf, inf,
             jnp.asarray(0), jnp.asarray(0), jnp.asarray(False),
@@ -116,11 +125,23 @@ def barrier_solve(
     # dual estimate from the last tracked barrier subproblem:
     # lambda_i = 1 / (t * d_i)  (Boyd-Vandenberghe section 11.2.2)
     t_solved = t_active
-    lam = 1.0 / (t_solved * cnts.margins(x))
+    d_exit = cnts.margins(x)
+    lam = 1.0 / (t_solved * d_exit)
+    # exit-state sanity: non-finite or clearly violated margins mean the
+    # instance was poisoned/overflowed and froze — flag it per instance.
+    # Active margins legitimately round to ~0 at the final t; allow
+    # rounding-scale slack.
+    slack = 100.0 * eps * (1.0 + jnp.abs(cnts.ub))
+    healthy = jnp.logical_and(
+        jnp.all(jnp.isfinite(x)),
+        jnp.logical_and(jnp.all(jnp.isfinite(d_exit)),
+                        jnp.all(d_exit > -slack)))
     p = eqs.p if eqs is not None else 0
     return Solution(
         x=x, lam=lam, nu=jnp.full((p,), jnp.nan, dtype),
-        newton_decrement=nan, duality_gap=gap, eq_gap=eq_gap,
+        newton_decrement=nan,
+        duality_gap=jnp.where(healthy, gap, nan), eq_gap=eq_gap,
         norm_grad=nan, norm_dual_residual=nan,
         iters=n_newton, maxed_out=outer_it >= pars.outer_max_iter,
+        stalled=jnp.logical_or(stalled, jnp.logical_not(healthy)),
     )

@@ -117,8 +117,11 @@ def newton_minimize(
 
         def do_step(_):
             t, accepted = _backtrack(value_fn, in_set, x, d, f, q, pars)
-            x_new = jnp.where(accepted, 1.0, 0.0) * (x + t * d) + \
-                jnp.where(accepted, 0.0, 1.0) * x
+            # a failed/overflowed factorization yields non-finite d: keep the
+            # iterate via a true select (an arithmetic blend would turn the
+            # frozen iterate into NaN through 0 * inf)
+            accepted = jnp.logical_and(accepted, jnp.all(jnp.isfinite(d)))
+            x_new = jnp.where(accepted, x + t * d, x)
             return x_new, jnp.logical_not(accepted)
 
         def no_step(_):
@@ -214,9 +217,9 @@ def newton_minimize_eq(
             accept = jax.vmap(acceptable)(ts)
             idx = jnp.argmax(accept)
             t = ts[idx]
-            accepted = jnp.any(accept)
-            x_new = jnp.where(accepted, 1.0, 0.0) * (x + t * d) + \
-                jnp.where(accepted, 0.0, 1.0) * x
+            accepted = jnp.logical_and(jnp.any(accept),
+                                       jnp.all(jnp.isfinite(d)))
+            x_new = jnp.where(accepted, x + t * d, x)
             return x_new, jnp.logical_not(accepted)
 
         def no_step(_):

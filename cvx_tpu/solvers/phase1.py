@@ -43,12 +43,40 @@ class InfeasibleProblemError(Exception):
     """Raised by find_feasible_point when phase-I certifies infeasibility
     (cvx/InfeasibleProblemException.scala)."""
 
-    def __init__(self, report):
+    def __init__(self, report, violations=None):
         self.report = report
+        self.violations = violations or []
+        listing = ""
+        if self.violations:
+            rows = ", ".join(f"{name} (violation {v:+.3e})"
+                             for name, _, v in self.violations[:10])
+            more = (f", ... ({len(self.violations) - 10} more)"
+                    if len(self.violations) > 10 else "")
+            listing = f"; violated: {rows}{more}"
         super().__init__(
             f"problem infeasible: max slack {report.s_max}, "
-            f"equality error {report.eq_error}"
+            f"equality error {report.eq_error}{listing}"
         )
+
+
+def violated_constraints(cnts: ConstraintSet, x, tol: float = 0.0):
+    """Host-side listing of the constraints violated at ``x``
+    (FeasibilityReport.scala:32-47): ``[(name, global_index, violation)]``
+    with ``violation = g_i(x) - ub_i > tol``, sorted worst first.
+
+    ``name`` is ``label[i]`` from the owning block (factories set labels:
+    "positivity", "rows_leq", ...; pass ``label=`` for custom names)."""
+    import numpy as np
+
+    out = []
+    off = 0
+    for b in cnts.blocks:
+        r = np.asarray(b.value(x) - b.ub)
+        for i in np.where(r > tol)[0]:
+            name = f"{b.label or type(b).__name__}[{int(i)}]"
+            out.append((name, off + int(i), float(r[i])))
+        off += b.m
+    return sorted(out, key=lambda t: -t[2])
 
 
 @pytree_dataclass
@@ -64,6 +92,11 @@ class FeasibilityReport:
     def is_feasible(self, tol: float) -> jax.Array:
         """Feasible up to tolerance (FeasibilityReport.scala:35-36)."""
         return jnp.logical_and(self.s_max < tol, self.eq_error < tol)
+
+    def violations(self, cnts: ConstraintSet, tol: float = 0.0):
+        """Violated-constraint listing at the phase-I candidate
+        (FeasibilityReport.scala:32-47) — host-side."""
+        return violated_constraints(cnts, self.x, tol)
 
 
 def _eq_tol(pars: SolverParams, dtype):
@@ -152,10 +185,12 @@ def _phase1_linear_structured(
             return jnp.logical_and(ok, fs <= f0 + pars.alpha * s * q)
 
         acc = jax.vmap(accept)(ls_ts)
-        any_acc = jnp.any(acc)
-        s = jnp.where(any_acc, ls_ts[jnp.argmax(acc)], 0.0)
+        # true select + finiteness guard (0 * NaN would poison a frozen
+        # iterate when the factorization overflowed)
+        take = jnp.logical_and(jnp.any(acc), jnp.all(jnp.isfinite(dz)))
+        s = jnp.where(take, ls_ts[jnp.argmax(acc)], 0.0)
         dec = -q / 2.0
-        return z + s * dz, dec, jnp.logical_not(any_acc)
+        return jnp.where(take, z + s * dz, z), dec, jnp.logical_not(take)
 
     tol = jnp.maximum(jnp.asarray(pars.tol, dtype),
                       50.0 * jnp.finfo(dtype).eps)
@@ -356,5 +391,6 @@ def find_feasible_point(
     pars = pars or SolverParams()
     report = feasibility_analysis(cnts, x0, pars, eqs, method)
     if not bool(report.is_feasible(float(_eq_tol(pars, report.x.dtype)))):
-        raise InfeasibleProblemError(report)
+        raise InfeasibleProblemError(
+            report, violations=violated_constraints(cnts, report.x))
     return report.x

@@ -150,13 +150,17 @@ def primal_dual_solve(
         _expo = jnp.where(_kk < 32, _kk, 32 + 3 * (_kk - 32)).astype(dtype)
         ss = s0 * pars.beta ** _expo
         accepts = jax.vmap(accept)(ss)
-        ok = jnp.any(accepts)
+        # true select + finiteness guard: with s = 0 and a non-finite Newton
+        # direction, x + s * dx would be NaN (0 * inf)
+        ok = jnp.logical_and(
+            jnp.any(accepts),
+            jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(dlam)))
         stalled = jnp.logical_not(ok)
         s = jnp.where(ok, ss[jnp.argmax(accepts)], 0.0)
 
-        x_n = x + s * dx
-        lam_n = lam + s * dlam
-        nu_n = nu + s * dnu
+        x_n = jnp.where(ok, x + s * dx, x)
+        lam_n = jnp.where(ok, lam + s * dlam, lam)
+        nu_n = jnp.where(ok, nu + s * dnu, nu)
 
         gap = surrogate_gap(x_n, lam_n)
         Gn = cnts.jac(x_n)
@@ -191,4 +195,5 @@ def primal_dual_solve(
         x=x, lam=lam, nu=nu, newton_decrement=nan, duality_gap=gap,
         eq_gap=eq_gap, norm_grad=nan, norm_dual_residual=ndr, iters=it,
         maxed_out=it >= 2 * pars.outer_max_iter,
+        stalled=stalled,
     )

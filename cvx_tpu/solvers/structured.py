@@ -152,30 +152,44 @@ def barrier_solve_structured(
         acc = jax.vmap(accept)(s_max * ls_ts)
         any_acc = jnp.any(acc)
         s = jnp.where(any_acc, s_max * ls_ts[jnp.argmax(acc)], 0.0)
-        take = jnp.logical_and(dec > tol, any_acc)
-        x_new = jnp.where(take, 1.0, 0.0) * (x + s * dx) + \
-            jnp.where(take, 0.0, 1.0) * x
-        stalled = jnp.logical_and(dec > tol, jnp.logical_not(any_acc))
+        # true select + finiteness guard: dx can be non-finite once an
+        # instance's margins drop below this dtype's resolution; a blend
+        # (0 * NaN) would poison the frozen iterate
+        take = jnp.logical_and(jnp.logical_and(dec > tol, any_acc),
+                               jnp.all(jnp.isfinite(dx)))
+        x_new = jnp.where(take, x + s * dx, x)
+        stalled = jnp.logical_and(dec > tol, jnp.logical_not(take))
         return x_new, dec, stalled
+
+    # a line-search failure is BENIGN once the continuation gap m/t is near
+    # the target (at extreme t the margin/log arithmetic runs out of
+    # mantissa — the final stages routinely stall with the iterate already
+    # optimal to the dtype's practical resolution, and the decrement itself
+    # is cancellation-inflated there, so it cannot be the signal).  A stall
+    # is REAL when the gap bound was still far above tol.  Sticky.
+    hard_stall_gap = jnp.sqrt(tol)
 
     def inner(t, x):
         def cond(c):
-            x, dec, it, stalled = c
+            x, dec, it, stalled, _ = c
             go = jnp.logical_and(dec > tol, it < pars.max_iter)
             return jnp.logical_and(go, jnp.logical_not(stalled))
 
         def body(c):
-            x, _, it, _ = c
+            x, _, it, _, hard = c
             x, dec, stalled = newton_step(t, x)
-            return x, dec, it + 1, stalled
+            hard = jnp.logical_or(
+                hard, jnp.logical_and(stalled, m / t > hard_stall_gap))
+            return x, dec, it + 1, stalled, hard
 
         big = jnp.asarray(jnp.inf, dtype)
-        x, dec, it, _ = lax.while_loop(
-            cond, body, (x, big, jnp.asarray(0), jnp.asarray(False)))
-        return x, it
+        x, dec, it, _, hard = lax.while_loop(
+            cond, body,
+            (x, big, jnp.asarray(0), jnp.asarray(False), jnp.asarray(False)))
+        return x, it, hard
 
     def outer_cond(c):
-        x, t, it, n_newton = c
+        x, t, it, n_newton, hard = c
         gap = m / (t / pars.mu)
         go = jnp.logical_not(
             jnp.logical_and(gap < pars.tol,
@@ -184,22 +198,41 @@ def barrier_solve_structured(
         return jnp.logical_and(go, t <= t_max)
 
     def outer_body(c):
-        x, t, it, n_newton = c
-        x, inner_it = inner(t, x)
-        return x, pars.mu * t, it + 1, n_newton + inner_it
+        x, t, it, n_newton, hard = c
+        x, inner_it, hard_i = inner(t, x)
+        return (x, pars.mu * t, it + 1, n_newton + inner_it,
+                jnp.logical_or(hard, hard_i))
 
-    x, t, outer_it, n_newton = lax.while_loop(
+    x, t, outer_it, n_newton, hard_stall = lax.while_loop(
         outer_cond, outer_body,
-        (x0, jnp.asarray(t0, dtype), jnp.asarray(0), jnp.asarray(0)))
+        (x0, jnp.asarray(t0, dtype), jnp.asarray(0), jnp.asarray(0),
+         jnp.asarray(False)))
+
+    # exit-state sanity: a poisoned/overflowed instance freezes at a finite
+    # iterate but its margins/data are non-finite or clearly violated — flag
+    # it (per-instance status instead of exceptions, SURVEY.md section 7.3).
+    # Active margins at the final t are ~1/(t*lam) and legitimately round to
+    # ~0 through the ub - Ux subtraction, so allow rounding-scale slack.
+    d_exit = ub - U @ x
+    slack = 100.0 * eps * (1.0 + jnp.abs(ub))
+    healthy = jnp.logical_and(
+        jnp.all(jnp.isfinite(x)),
+        jnp.logical_and(jnp.all(jnp.isfinite(d_exit)),
+                        jnp.logical_and(jnp.all(d_exit > -slack),
+                                        jnp.all(x > 0))))
+    stalled = jnp.logical_or(hard_stall, jnp.logical_not(healthy))
 
     t_solved = t / pars.mu
-    d = ub - U @ x
-    lam = jnp.concatenate([1.0 / (t_solved * d), 1.0 / (t_solved * x)])
+    lam = jnp.concatenate([1.0 / (t_solved * d_exit),
+                           1.0 / (t_solved * x)])
     nan = jnp.asarray(jnp.nan, dtype)
     return Solution(
         x=x, lam=lam, nu=jnp.full((p,), jnp.nan, dtype),
-        newton_decrement=nan, duality_gap=m / t_solved,
+        newton_decrement=nan,
+        # the continuation bound m/t is meaningless for an unhealthy exit
+        duality_gap=jnp.where(healthy, m / t_solved, nan),
         eq_gap=jnp.linalg.norm(b - A @ x), norm_grad=nan,
         norm_dual_residual=nan, iters=n_newton,
         maxed_out=outer_it >= pars.outer_max_iter,
+        stalled=stalled,
     )

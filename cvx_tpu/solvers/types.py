@@ -63,7 +63,12 @@ class NewtonResult:
 
 @pytree_dataclass
 class Solution:
-    """Final solver result (Solution.scala:32-60)."""
+    """Final solver result (Solution.scala:32-60).
+
+    Per-instance failure modes are FLAGS, not exceptions (SURVEY.md
+    section 7.3): a vmapped batch carries ``maxed_out``/``stalled`` per
+    instance, and ``status`` summarizes them as an integer code.
+    """
 
     x: jax.Array
     lam: jax.Array             # inequality duals (NaN-filled if unused)
@@ -75,6 +80,20 @@ class Solution:
     norm_dual_residual: jax.Array
     iters: jax.Array
     maxed_out: jax.Array
+    stalled: jax.Array         # bool: line search exhausted before converging
+
+    # status codes (per instance under vmap)
+    STATUS_OK = 0
+    STATUS_MAXED_OUT = 1
+    STATUS_STALLED = 2
+
+    @property
+    def status(self) -> jax.Array:
+        """0 = ok, 1 = hit the iteration cap, 2 = line-search stall (the
+        reference's LineSearchFailedException, as data)."""
+        return jnp.where(self.stalled, self.STATUS_STALLED,
+                         jnp.where(self.maxed_out, self.STATUS_MAXED_OUT,
+                                   self.STATUS_OK))
 
 
 @pytree_dataclass
