@@ -4,14 +4,15 @@ consensus for block-separable programs.  The reference has no parallelism at
 all; this layer is new capability mandated by the north star."""
 
 from .batch import shard_solve, vmap_solve
+from .constraint_shard import barrier_solve_msharded
 from .mesh import (block_mesh, init_distributed, instance_mesh,
                    shard_batch)
 from .schur import (SeparableProblem, make_sharded_schur_solver,
                     schur_kkt_solve, separable_barrier_solve)
 
 __all__ = [
-    "shard_solve", "vmap_solve", "block_mesh", "init_distributed",
-    "instance_mesh",
+    "shard_solve", "vmap_solve", "barrier_solve_msharded",
+    "block_mesh", "init_distributed", "instance_mesh",
     "shard_batch", "SeparableProblem", "make_sharded_schur_solver",
     "schur_kkt_solve", "separable_barrier_solve",
 ]
