@@ -9,10 +9,14 @@ from .mesh import (block_mesh, init_distributed, instance_mesh,
                    shard_batch)
 from .schur import (SeparableProblem, make_sharded_schur_solver,
                     schur_kkt_solve, separable_barrier_solve)
+from .tp_chol import (make_sharded_cholesky, make_sharded_chol_solve,
+                      make_tp_kkt_solver)
 
 __all__ = [
     "shard_solve", "vmap_solve", "barrier_solve_msharded",
     "block_mesh", "init_distributed", "instance_mesh",
     "shard_batch", "SeparableProblem", "make_sharded_schur_solver",
     "schur_kkt_solve", "separable_barrier_solve",
+    "make_sharded_cholesky", "make_sharded_chol_solve",
+    "make_tp_kkt_solver",
 ]
