@@ -95,6 +95,18 @@ def main():
             iters = jnp.full((batch,), n_outer * int(pars.max_iter),
                              jnp.int32)
             return xs, gaps, iters
+    elif method == "dual_fast":
+        # direct projected-Newton on the closed-form dual (dim k+p+1 << n,
+        # the reference's own preferred route, Dist_KL.scala:59-65)
+        steps = int(os.environ.get("BENCH_DUAL_STEPS", 30))
+
+        def solve_one(pA_i, pB_i):
+            u = jnp.stack([-pA_i, pB_i])
+            prob = DistKL.create(n, H=H, u=u, dtype=dtype)
+            sol = prob.solve_dual_newton(pars, steps=steps)
+            return sol.x, sol.duality_gap, sol.iters
+
+        vsolve = jax.vmap(solve_one)
     else:
         def solve_one(pA_i, pB_i):
             u = jnp.stack([-pA_i, pB_i])
@@ -139,67 +151,15 @@ def main():
     sums = np.abs(np.sum(xs.astype(np.float64), axis=1) - 1.0)
 
     # MEASURED duality-gap certificate, all instances, f64 on host (outside
-    # the timed region): fit a dual-feasible z = (lam >= 0, nu) to the
-    # stationarity residual of each returned iterate, sharpen it with a few
-    # projected-Newton steps on the closed-form dual -g(z) (each step can
-    # only improve a valid bound), and report f(x) - g(z) <= f(x) - p*.
-    # Honest for every method — unlike the central-path bound m/t, which
-    # holds only at exact central points.  Mirrors
-    # cvx_tpu.models.dist_kl.kl_dual_gap in batched numpy f64.
-    X = xs.astype(np.float64)                      # (batch, n)
-    Hf = np.asarray(H, np.float64)                 # (2, n)
-    B = np.vstack([Hf, np.ones((1, n))])           # (3, n)
-    C = -(1.0 + np.log(n * X))                     # target for B' z = c
-    Z = C @ np.linalg.pinv(B.T).T                  # (batch, 3) lstsq fits
-    Z[:, :2] = np.clip(Z[:, :2], 0.0, None)        # dual feasibility lam>=0
-    W = np.column_stack([-np.asarray(pA, np.float64),
-                         np.asarray(pB, np.float64),
-                         np.ones(batch)])          # (batch, 3) = (u, 1)
+    # the timed region): fit a dual-feasible z = (lam >= 0, nu) to each
+    # returned iterate, polish on the closed-form dual, and report
+    # f(x) - g(z) <= f(x) - p*.  Honest for every method — unlike the
+    # central-path bound m/t, which holds only at exact central points.
+    from cvx_tpu.diagnostics import kl_gap_certificate_np
 
-    def neg_g(Z_):
-        return (np.sum(W * Z_, axis=1)
-                + np.sum(np.exp(-(Z_ @ B)) / (n * np.e), axis=1))
-
-    def project(Z_):
-        out = Z_.copy()
-        out[:, :2] = np.clip(out[:, :2], 0.0, None)
-        return out
-
-    f0 = neg_g(Z)
-    eye3 = np.eye(3)
-    for _ in range(10):     # active-set projected-Newton polish (see
-        # dist_kl._polish_dual: bound-active multipliers are frozen out of
-        # the Newton system, and the exact step-to-boundary is a candidate)
-        Y = np.exp(-(Z @ B)) / (n * np.e)          # (batch, n) implied primal
-        grad = W - Y @ B.T                         # (batch, 3)
-        at_bound = np.zeros((batch, 3), bool)
-        at_bound[:, :2] = (Z[:, :2] <= 0.0) & (grad[:, :2] > 0.0)
-        freef = (~at_bound).astype(np.float64)
-        gf = np.where(at_bound, 0.0, grad)
-        Hd = np.einsum("bn,in,jn->bij", Y, B, B)
-        Hd = (Hd * freef[:, :, None] * freef[:, None, :]
-              + np.einsum("bi,ij->bij", 1.0 - freef, eye3))
-        Hd += (1e-12 * np.trace(Hd, axis1=1, axis2=2)[:, None, None] / 3.0
-               + 1e-300) * eye3
-        dZ = -np.linalg.solve(Hd, gf[..., None])[..., 0]
-        neg = np.zeros((batch, 3), bool)
-        neg[:, :2] = dZ[:, :2] < 0.0
-        with np.errstate(divide="ignore", invalid="ignore"):
-            t_bd = np.min(np.where(neg, -Z / np.where(neg, dZ, -1.0),
-                                   np.inf), axis=1)
-        t_bd = np.clip(np.nan_to_num(t_bd, nan=1.0, posinf=1.0), 0.0, 1.0)
-        took = np.zeros(batch, bool)
-        for tc in [None, 1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125]:
-            t_arr = t_bd[:, None] if tc is None else tc
-            Zt = project(Z + t_arr * dZ)
-            ft = neg_g(Zt)
-            acc = ~took & np.isfinite(ft) & (ft < f0)
-            Z[acc] = Zt[acc]
-            f0[acc] = ft[acc]
-            took |= acc
-    dual = -f0
-    primal = np.sum(X * np.log(n * X), axis=1)
-    gap_cert = primal - dual                       # true per-instance bound
+    u_np = np.column_stack([-np.asarray(pA, np.float64),
+                            np.asarray(pB, np.float64)])
+    gap_cert = kl_gap_certificate_np(xs, H, u_np)
     gap_max = float(np.max(gap_cert))
     log(f"compile: {compile_s:.1f}s  solve: {elapsed*1e3:.1f}ms  "
         f"newton_iters={total_newton} ({newton_per_s:,.0f}/s)  "
