@@ -1,0 +1,245 @@
+"""Scaling benchmark: the BASELINE.json metric ladder, recorded to an
+artifact.
+
+BASELINE.json's primary metric is "Newton iterations/s and KKT
+factorizations/s (n = 100 / 1k / 10k)" plus the config ladder.  This script
+measures, on whatever backend it runs on (intended: the real TPU):
+
+  1. Batched KL solves at n = 100 / 1000 / 10000 (config 4 at three
+     problem sizes) via the structured primal path AND the fused dual
+     kernel, with the f64 host gap certificate on every run.
+  2. Config 3: a dense equality+inequality constrained QP at n = 1000
+     solved by the generic barrier path (phase-II; dense Hessian assembly
+     + KKT factorization per Newton step).
+  3. Raw KKT factorization throughput at n = 1k / 2k / 4k / 8k
+     (kkt_solve, method="chol", chained).
+
+Writes BENCH_SCALING.json (list of records) and prints one JSON line per
+measurement.  Timing: chained data-dependent runs inside one jit + forced
+host transfer, best-of-3 (see bench.py).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timed(fn, *args, reps=5, tries=3):
+    """Compile, then best-of-`tries` of chained execution; returns seconds
+    per single run."""
+    out = fn(*args)
+    jax.tree_util.tree_map(np.asarray, out)
+    best = float("inf")
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree_util.tree_map(np.asarray, out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best, out
+
+
+def chained(solve, reps):
+    """Chain `reps` data-dependent solves of `solve(u)` into one jit."""
+
+    @jax.jit
+    def run(u):
+        out = solve(u)
+        lead = jax.tree_util.tree_leaves(out)[0]
+
+        def body(i, carry):
+            u_, out = carry
+            out = solve(u_)
+            lead = jax.tree_util.tree_leaves(out)[0]
+            return u_ + 1e-12 * jnp.mean(lead), out
+
+        return jax.lax.fori_loop(0, reps - 1, body,
+                                 (u + 1e-12 * jnp.mean(lead), out))
+
+    return run
+
+
+def kl_batch(records, n, batch, dtype, on_tpu):
+    from cvx_tpu.diagnostics import kl_gap_certificate_np
+    from cvx_tpu.models import DistKL
+    from cvx_tpu.solvers import SolverParams
+
+    nA, nB = 3, n // 2
+    I_A = np.zeros(n); I_A[:nA] = 1.0
+    I_B = np.zeros(n); I_B[nB:] = 1.0
+    H = jnp.asarray(np.stack([-I_A, I_B]), dtype)
+    pA = jax.random.uniform(jax.random.PRNGKey(0), (batch,), dtype, 0.2, 0.5)
+    pB = jax.random.uniform(jax.random.PRNGKey(1), (batch,), dtype,
+                            0.55, 0.8)
+    u = jnp.stack([-pA, pB], axis=1)
+    u_np = np.column_stack([-np.asarray(pA, np.float64),
+                            np.asarray(pB, np.float64)])
+
+    def feasible_start(pA_i):
+        w = pA_i + 0.05
+        return (w / nA) * jnp.asarray(I_A, dtype) + \
+            ((1.0 - w) / (n - nA)) * jnp.asarray(1.0 - I_A, dtype)
+
+    # --- structured primal (BR_fast) ---
+    pars = SolverParams(tol=1e-8, mu=30.0, kkt_method="chol", kkt_refine=1)
+
+    def solve_struct(u):
+        def one(u_i):
+            prob = DistKL.create(n, H=H, u=u_i, dtype=dtype)
+            s = prob.solve_jittable(feasible_start(-u_i[0]),
+                                    method="BR_fast", pars=pars)
+            return s.x, s.iters
+        return jax.vmap(one)(u)
+
+    reps = 5
+    sec, (_, (xs, iters)) = timed(chained(solve_struct, reps), u, reps=reps)
+    cert = kl_gap_certificate_np(np.asarray(xs), H, u_np)
+    rec = {
+        "metric": f"kl_batch_structured_n{n}", "batch": batch,
+        "value": round(batch / sec, 1), "unit": "instances/s",
+        "newton_iters_per_s": round(float(np.sum(iters)) / sec, 1),
+        "gap_cert_max": float(np.max(cert)),
+        "ms_per_batch": round(sec * 1e3, 2),
+    }
+    records.append(rec)
+    print(json.dumps(rec), flush=True)
+
+    # --- fused dual kernel ---
+    from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
+
+    if not on_tpu and n > 512:
+        log(f"skip dual_fused at n={n} on CPU (interpret mode too slow)")
+        return
+    Hb = jnp.tile(H[None], (batch, 1, 1))
+    steps = 20
+    # VMEM budget: keep bt * n_padded tiles ~ a few MB
+    bt = 256 if n <= 128 else (64 if n <= 1024 else 8)
+
+    def solve_dual(u):
+        xs, gaps = kl_dual_fused(Hb, u, n_steps=steps, bt=bt,
+                                 interpret=not on_tpu)
+        return xs, gaps
+
+    sec, (_, (xs, _)) = timed(chained(solve_dual, reps), u, reps=reps)
+    cert = kl_gap_certificate_np(np.asarray(xs), H, u_np)
+    rec = {
+        "metric": f"kl_batch_dual_fused_n{n}", "batch": batch,
+        "value": round(batch / sec, 1), "unit": "instances/s",
+        "newton_iters_per_s": round(batch * steps / sec, 1),
+        "gap_cert_max": float(np.max(cert)),
+        "ms_per_batch": round(sec * 1e3, 2),
+    }
+    records.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def qp_n1000(records, dtype):
+    """Config 3: dense QP n=1000, m=500 inequalities + p=10 equalities,
+    generic barrier path (dense Hessian assembly + KKT factorization per
+    Newton step)."""
+    from cvx_tpu.problem.constraint_set import ConstraintSet
+    from cvx_tpu.problem.constraints import LinearBlock
+    from cvx_tpu.problem.equality import EqualityConstraint
+    from cvx_tpu.problem.objective import QuadraticObjective
+    from cvx_tpu.solvers.barrier import barrier_solve
+    from cvx_tpu.solvers.types import SolverParams
+
+    n, m, p = 1000, 500, 10
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    M = jax.random.normal(ks[0], (n, n), dtype) / np.sqrt(n)
+    P = M @ M.T + jnp.eye(n, dtype=dtype)
+    z = jax.random.normal(ks[1], (n,), dtype)
+    obj = QuadraticObjective(P=P, a=-(P @ z),
+                             r=jnp.asarray(0.5 * z @ (P @ z), dtype))
+    G = jax.random.normal(ks[2], (m, n), dtype) / np.sqrt(n)
+    ub = jax.random.uniform(ks[3], (m,), dtype, 0.5, 1.5)  # x0=0 feasible
+    A = jax.random.normal(ks[4], (p, n), dtype) / np.sqrt(n)
+    b = jnp.zeros((p,), dtype)                             # x0=0 on Ax=b
+    cnts = ConstraintSet(blocks=(LinearBlock(
+        G=G, c=jnp.zeros((m,), dtype), ub=ub),))
+    eqs = EqualityConstraint(A=A, b=b)
+    pars = SolverParams(tol=1e-7, mu=20.0, kkt_method="chol", kkt_refine=1)
+    x0 = jnp.zeros((n,), dtype)
+
+    def solve(u):
+        s = barrier_solve(obj, cnts, x0 + 0.0 * u[0], pars, eqs=eqs)
+        return s.x, s.iters, s.duality_gap, s.eq_gap
+
+    reps = 2
+    sec, (_, (x, iters, gap, eq_gap)) = timed(
+        chained(solve, reps), jnp.zeros((1,), dtype), reps=reps)
+    margins = ub - G @ jnp.asarray(x)
+    rec = {
+        "metric": "qp_dense_n1000_barrier", "value": round(sec * 1e3, 1),
+        "unit": "ms/solve",
+        "newton_iters": int(iters),
+        "newton_iters_per_s": round(int(iters) / sec, 1),
+        "gap": float(gap), "eq_gap": float(eq_gap),
+        "min_margin": float(jnp.min(margins)),
+    }
+    records.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def kkt_factorizations(records, dtype):
+    """Raw block-elimination KKT factorize+solve throughput at large n."""
+    from cvx_tpu.ops.kkt import kkt_solve
+
+    for n in (1024, 2048, 4096, 8192):
+        p = 16
+        ks = jax.random.split(jax.random.PRNGKey(n), 3)
+        M = jax.random.normal(ks[0], (n, n), dtype) / np.sqrt(n)
+        H = M @ M.T + 2.0 * jnp.eye(n, dtype=dtype)
+        A = jax.random.normal(ks[1], (p, n), dtype) / np.sqrt(n)
+        q = jax.random.normal(ks[2], (n,), dtype)
+        b = jnp.zeros((p,), dtype)
+
+        def solve(qv):
+            x, w, rr = kkt_solve(H, A, qv, b, method="chol", refine=1)
+            return x, rr
+
+        reps = 5
+        sec, (_, (x, rr)) = timed(chained(solve, reps), q, reps=reps)
+        rec = {
+            "metric": f"kkt_factorize_solve_n{n}",
+            "value": round(1.0 / sec, 2), "unit": "factorizations/s",
+            "ms_per_solve": round(sec * 1e3, 2), "relres": float(rr),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+
+def main():
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+    if not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    log(f"bench_scaling: platform={platform} dtype={dtype.__name__}")
+
+    records = [{"platform": platform, "dtype": dtype.__name__}]
+    sizes = os.environ.get("SCALE_SIZES", "100,1000,10000")
+    batches = {100: 10000, 1000: 1000, 10000: 100}
+    for n in (int(s) for s in sizes.split(",")):
+        kl_batch(records, n, batches.get(n, 1000) if on_tpu
+                 else max(8, 1024 // n), dtype, on_tpu)
+    if os.environ.get("SCALE_QP", "1") == "1":
+        qp_n1000(records, dtype)
+    if os.environ.get("SCALE_KKT", "1") == "1":
+        kkt_factorizations(records, dtype)
+
+    with open("BENCH_SCALING.json", "w") as f:
+        json.dump(records, f, indent=1)
+    log("wrote BENCH_SCALING.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -26,8 +26,10 @@ memory-bound-optimal, while the Mosaic restriction to static slicing forces
 this kernel to extract each column by mask+reduce (O(n) redundant VPU work
 per column).  The default therefore stays "xla"; the kernel is kept as the
 in-house implementation to build on — the real Pallas win for this
-framework is fusing the WHOLE structured Newton step in VMEM (future work),
-not re-implementing a single op XLA already saturates.
+framework is fusing WHOLE solves in VMEM, not re-implementing a single op
+XLA already saturates.  That win is realized twice over: the fused primal
+barrier kernel (ops/pallas_kl.py) and the fused dual projected-Newton
+kernel (ops/pallas_kl_dual.py, the TPU bench default).
 """
 
 from __future__ import annotations
