@@ -24,6 +24,7 @@ from .problem.constraints import first_coordinates_positive
 from .solvers.barrier import barrier_solve
 from .solvers.primal_dual import primal_dual_solve
 from .solvers.types import Solution, SolverParams
+from .tree import mxu_exact
 
 
 def _small_solve(A: jax.Array, b: jax.Array) -> jax.Array:
@@ -157,6 +158,7 @@ def _polish_dual(obj: Any, z: jax.Array, num_ineq: int, steps: int,
     return jax.lax.fori_loop(0, steps, step, z)
 
 
+@mxu_exact
 def solve_dual(
     neg_dual_objective: Any,
     num_ineq: int,

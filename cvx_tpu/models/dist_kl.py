@@ -41,7 +41,7 @@ from ..solvers.barrier import barrier_solve
 from ..solvers.phase1 import feasibility_analysis, find_feasible_point
 from ..solvers.primal_dual import primal_dual_solve
 from ..solvers.types import Solution, SolverParams
-from ..tree import pytree_dataclass, static_field
+from ..tree import mxu_exact, pytree_dataclass, static_field
 
 
 @pytree_dataclass

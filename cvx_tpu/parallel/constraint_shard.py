@@ -35,8 +35,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.kkt import kkt_solve, sym_solve
 from ..solvers.types import Solution, SolverParams
+from ..tree import mxu_exact
 
 
+@mxu_exact
 def barrier_solve_msharded(
     obj: Any,
     G: jax.Array,

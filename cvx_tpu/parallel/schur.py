@@ -37,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.cholesky import chol_solve_factored, regularized_cholesky
 from ..ops.equilibrate import ruiz_equilibrate
 from ..solvers.types import SolverParams
-from ..tree import pytree_dataclass
+from ..tree import mxu_exact, pytree_dataclass
 
 
 def _local_schur_pieces(H, C, q):
@@ -57,6 +57,7 @@ def _local_schur_pieces(H, C, q):
     return Hinv_Ct, Hinv_q, jnp.sum(S_k, axis=0), jnp.sum(y_k, axis=0)
 
 
+@mxu_exact
 def schur_kkt_solve(H, C, q, rhs):
     """Single-device block-separable KKT solve.
 
@@ -146,6 +147,7 @@ class SeparableProblem:
         return jnp.all(margins > 0)
 
 
+@mxu_exact
 def separable_barrier_solve(
     prob: SeparableProblem,
     x0: jax.Array,

@@ -24,8 +24,10 @@ from ..problem.constraint_set import ConstraintSet
 from ..problem.equality import EqualityConstraint
 from .newton import newton_minimize, newton_minimize_eq
 from .types import OptState, Solution, SolverParams
+from ..tree import mxu_exact
 
 
+@mxu_exact
 def barrier_solve(
     obj,
     cnts: ConstraintSet,

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.kkt import kkt_solve, sym_solve
+from ..tree import mxu_exact
 from .types import NewtonResult, SolverParams
 
 
@@ -68,6 +69,7 @@ def _backtrack(value_fn, in_set, x, d, f0, q, pars, require_armijo=True):
     return ts[idx], jnp.any(accept)
 
 
+@mxu_exact
 def newton_minimize(
     fgh: Callable,
     in_set: Callable,
@@ -144,6 +146,7 @@ def newton_minimize(
     )
 
 
+@mxu_exact
 def newton_minimize_eq(
     fgh: Callable,
     in_set: Callable,

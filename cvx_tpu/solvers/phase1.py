@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..problem.constraint_set import ConstraintSet
 from ..problem.equality import EqualityConstraint
 from ..problem.objective import LinearObjective
-from ..tree import pytree_dataclass, replace as tree_replace
+from ..tree import mxu_exact, pytree_dataclass, replace as tree_replace
 from .barrier import barrier_solve
 from .types import SolverParams, phase1_criterion
 
@@ -112,6 +112,7 @@ def _slack_objective(n: int, dtype) -> LinearObjective:
     return LinearObjective(a=a, r=jnp.zeros((), dtype))
 
 
+@mxu_exact
 def _phase1_linear_structured(
     cnts: ConstraintSet,
     x0: jax.Array,

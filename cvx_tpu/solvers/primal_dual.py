@@ -42,8 +42,10 @@ from ..problem.constraint_set import ConstraintSet
 from ..problem.equality import EqualityConstraint
 from ..ops.kkt import kkt_solve, sym_solve
 from .types import OptState, Solution, SolverParams
+from ..tree import mxu_exact
 
 
+@mxu_exact
 def primal_dual_solve(
     obj,
     cnts: ConstraintSet,

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .types import Solution, SolverParams
+from ..tree import mxu_exact
 
 
 def _woodbury_solver(h: jax.Array, U: jax.Array, w: jax.Array,
@@ -66,6 +67,7 @@ def _woodbury_solver(h: jax.Array, U: jax.Array, w: jax.Array,
     return solveH
 
 
+@mxu_exact
 def barrier_solve_structured(
     obj: Any,
     U: jax.Array,

@@ -49,3 +49,26 @@ def pytree_dataclass(cls: type[_T]) -> type[_T]:
 def replace(obj: _T, **changes: Any) -> _T:
     """dataclasses.replace that works on pytree dataclasses."""
     return dataclasses.replace(obj, **changes)
+
+
+def mxu_exact(fn):
+    """Trace the wrapped solver under exact-f32 matmul precision.
+
+    On TPU, f32 matmuls/einsums default to bfloat16 MXU passes
+    (eps ~ 8e-3).  That is fine for neural nets, but it poisons
+    interior-point arithmetic: Newton gradients stall around 1e-3 and the
+    MEASURED duality gap of the f32 structured path was 3.9e-3 instead of
+    ~1e-6 (bench.py certificate).  Every solver entry point is wrapped so
+    all contractions traced inside run at Precision.HIGHEST; dense
+    factorizations (lax.linalg) are unaffected (natively f32).
+    """
+    import functools
+
+    import jax as _jax
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with _jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
