@@ -89,7 +89,11 @@ def kl_batch(records, n, batch, dtype, on_tpu):
             ((1.0 - w) / (n - nA)) * jnp.asarray(1.0 - I_A, dtype)
 
     # --- structured primal (BR_fast) ---
-    pars = SolverParams(tol=1e-8, mu=30.0, kkt_method="chol", kkt_refine=1)
+    # max_iter bounded: the continuation needs < 8 steps/stage here, and an
+    # unbounded while_loop makes the chained program long enough to trip
+    # the remote worker's watchdog
+    pars = SolverParams(tol=1e-8, mu=30.0, kkt_method="chol", kkt_refine=1,
+                        max_iter=8)
 
     def solve_struct(u):
         def one(u_i):
@@ -99,7 +103,7 @@ def kl_batch(records, n, batch, dtype, on_tpu):
             return s.x, s.iters
         return jax.vmap(one)(u)
 
-    reps = 5
+    reps = 3
     sec, (_, (xs, iters)) = timed(chained(solve_struct, reps), u, reps=reps)
     cert = kl_gap_certificate_np(np.asarray(xs), H, u_np)
     rec = {
@@ -128,6 +132,7 @@ def kl_batch(records, n, batch, dtype, on_tpu):
                                  interpret=not on_tpu)
         return xs, gaps
 
+    reps = 10 if on_tpu else 3   # single-kernel solves: amortize dispatch
     sec, (_, (xs, _)) = timed(chained(solve_dual, reps), u, reps=reps)
     cert = kl_gap_certificate_np(np.asarray(xs), H, u_np)
     rec = {
@@ -190,7 +195,11 @@ def qp_n1000(records, dtype):
 
 
 def kkt_factorizations(records, dtype):
-    """Raw block-elimination KKT factorize+solve throughput at large n."""
+    """Raw block-elimination KKT factorize+solve throughput at large n.
+
+    H/A/q are jit ARGUMENTS (a closure-captured H would be baked into the
+    HLO as an n^2 constant — 268 MB at n=8192, which the remote-compile
+    tunnel rejects)."""
     from cvx_tpu.ops.kkt import kkt_solve
 
     for n in (1024, 2048, 4096, 8192):
@@ -201,13 +210,21 @@ def kkt_factorizations(records, dtype):
         A = jax.random.normal(ks[1], (p, n), dtype) / np.sqrt(n)
         q = jax.random.normal(ks[2], (n,), dtype)
         b = jnp.zeros((p,), dtype)
-
-        def solve(qv):
-            x, w, rr = kkt_solve(H, A, qv, b, method="chol", refine=1)
-            return x, rr
-
         reps = 5
-        sec, (_, (x, rr)) = timed(chained(solve, reps), q, reps=reps)
+
+        @jax.jit
+        def run(H, A, q, b):
+            x, w, rr = kkt_solve(H, A, q, b, method="chol", refine=1)
+
+            def body(i, c):
+                q_, x, rr = c
+                x, w, rr = kkt_solve(H, A, q_, b, method="chol", refine=1)
+                return q_ + 1e-12 * jnp.mean(x), x, rr
+
+            return jax.lax.fori_loop(
+                0, reps - 1, body, (q + 1e-12 * jnp.mean(x), x, rr))
+
+        sec, (_, x, rr) = timed(run, H, A, q, b, reps=reps)
         rec = {
             "metric": f"kkt_factorize_solve_n{n}",
             "value": round(1.0 / sec, 2), "unit": "factorizations/s",
@@ -227,8 +244,9 @@ def main():
 
     records = [{"platform": platform, "dtype": dtype.__name__}]
     sizes = os.environ.get("SCALE_SIZES", "100,1000,10000")
+    sizes = sizes.strip()
     batches = {100: 10000, 1000: 1000, 10000: 100}
-    for n in (int(s) for s in sizes.split(",")):
+    for n in (int(s) for s in sizes.split(",") if s):
         kl_batch(records, n, batches.get(n, 1000) if on_tpu
                  else max(8, 1024 // n), dtype, on_tpu)
     if os.environ.get("SCALE_QP", "1") == "1":
@@ -236,9 +254,18 @@ def main():
     if os.environ.get("SCALE_KKT", "1") == "1":
         kkt_factorizations(records, dtype)
 
+    # merge into any existing artifact (the ladder is run metric-group by
+    # metric-group so one remote-worker crash cannot lose everything)
+    existing = []
+    if os.path.exists("BENCH_SCALING.json"):
+        with open("BENCH_SCALING.json") as f:
+            existing = json.load(f)
+    seen = {r["metric"] for r in records if "metric" in r}
+    merged = [r for r in existing
+              if r.get("metric") not in seen] + records
     with open("BENCH_SCALING.json", "w") as f:
-        json.dump(records, f, indent=1)
-    log("wrote BENCH_SCALING.json")
+        json.dump(merged, f, indent=1)
+    log(f"wrote BENCH_SCALING.json ({len(merged)} records)")
 
 
 if __name__ == "__main__":

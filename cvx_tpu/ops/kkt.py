@@ -86,15 +86,19 @@ def _block_solve(H, A, q, b, *, delta, refine):
 
 
 def _kkt_residual(H, A, q, b, x, w, tol):
-    """max of the two relative residuals of the original KKT system,
-    normalized by the right-hand-side scales ||q|| and ||b||."""
+    """max of the two normwise-backward-error residuals of the original
+    KKT system: each equation's residual is measured against the terms
+    that produced it (a zero right-hand side would otherwise divide the
+    dtype's rounding noise by ``tol`` — see ops.cholesky.relative_residual).
+    """
+    nx = jnp.linalg.norm(x)
+    nA = jnp.linalg.norm(A)
     r1 = jnp.linalg.norm(H @ x + A.T @ w + q)
     r2 = jnp.linalg.norm(A @ x - b)
-    nq = jnp.linalg.norm(q)
-    nb = jnp.linalg.norm(b)
-    rel1 = r1 / jnp.where(nq < tol, tol, tol + nq)
-    rel2 = r2 / jnp.where(nb < tol, tol, tol + nb)
-    return jnp.maximum(rel1, rel2)
+    s1 = (tol + jnp.linalg.norm(q) + jnp.linalg.norm(H) * nx
+          + nA * jnp.linalg.norm(w))
+    s2 = tol + jnp.linalg.norm(b) + nA * nx
+    return jnp.maximum(r1 / s1, r2 / s2)
 
 
 def _augmented(H, A, q, b):
