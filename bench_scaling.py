@@ -194,6 +194,51 @@ def qp_n1000(records, dtype):
     print(json.dumps(rec), flush=True)
 
 
+def separable_config5(records, dtype):
+    """North-star config 5 on ONE chip: block-separable scenario program
+    (n = 10k over 64 blocks of nb = 156) with coupling equalities, solved
+    by the Schur-consensus barrier (parallel/schur.py).  The N>=2-host
+    variant swaps in make_sharded_schur_solver (validated on the CPU mesh
+    and in dryrun_multichip); single-chip throughput is recorded here."""
+    from cvx_tpu.parallel.schur import SeparableProblem, separable_barrier_solve
+    from cvx_tpu.solvers.types import SolverParams
+
+    K, nb, mb, p = 64, 156, 32, 8
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    eye = jnp.eye(nb, dtype=dtype)
+    M = jax.random.normal(ks[0], (K, nb, nb), dtype) / np.sqrt(nb)
+    P = jnp.einsum("kij,klj->kil", M, M) + eye[None]
+    a = jax.random.normal(ks[1], (K, nb), dtype)
+    G = jnp.tile(jnp.concatenate([eye, -eye], axis=0)[None],
+                 (K, 1, 1))[:, :mb]
+    u = jnp.full((K, mb), 10.0, dtype)
+    C = jax.random.normal(ks[2], (K, p, nb), dtype) / np.sqrt(nb)
+    c = 0.1 * jax.random.normal(ks[3], (p,), dtype)
+    prob = SeparableProblem(P=P, a=a, G=G, u=u, C=C, c=c)
+    pars = SolverParams(tol=1e-7, mu=20.0, max_iter=12)
+    x0 = jnp.zeros((K, nb), dtype)
+
+    @jax.jit
+    def run(a_):
+        prob_ = SeparableProblem(P=P, a=a_, G=G, u=u, C=C, c=c)
+        x, info = separable_barrier_solve(prob_, x0, pars)
+        return x, info["newton_iters"], info["gap"]
+
+    reps = 1
+    sec, (x, iters, gap) = timed(run, a, reps=reps)
+    eq_err = float(jnp.linalg.norm(
+        jnp.einsum("kpn,kn->p", C, jnp.asarray(x)) - c))
+    rec = {
+        "metric": "separable_config5_n9984_64blocks",
+        "value": round(sec * 1e3, 1), "unit": "ms/solve",
+        "newton_iters": int(iters), "gap_bound": float(gap),
+        "eq_err": eq_err,
+        "newton_iters_per_s": round(int(iters) / sec, 1),
+    }
+    records.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
 def kkt_factorizations(records, dtype):
     """Raw block-elimination KKT factorize+solve throughput at large n.
 
@@ -253,6 +298,8 @@ def main():
         qp_n1000(records, dtype)
     if os.environ.get("SCALE_KKT", "1") == "1":
         kkt_factorizations(records, dtype)
+    if os.environ.get("SCALE_SEP", "0") == "1":
+        separable_config5(records, dtype)
 
     # merge into any existing artifact (the ladder is run metric-group by
     # metric-group so one remote-worker crash cannot lose everything)

@@ -12,6 +12,8 @@ See SURVEY.md for the layer map and the reference cross-references.
 
 __version__ = "0.1.0"
 
-from . import diagnostics, models, ops, parallel, problem, solvers, testing  # noqa: F401
+from . import (checkpoint, diagnostics, models, ops, parallel, problem,  # noqa: F401
+               solvers, testing)
 from .api import minimize  # noqa: F401
+from .checkpoint import load_pytree, resume_barrier, save_pytree  # noqa: F401
 from .duality import solve_dual  # noqa: F401

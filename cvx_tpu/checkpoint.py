@@ -1,0 +1,78 @@
+"""Checkpoint / resume for solver state.
+
+The reference has no checkpointing (SURVEY.md section 5.4: solves are
+short-lived, state is local ``var``s).  In this framework every solver's
+state is an explicit pytree (Solution, FeasibilityReport, while_loop
+carries), so checkpointing is pure serialization:
+
+  * ``save_pytree`` / ``load_pytree`` persist ANY pytree of arrays to one
+    ``.npz`` file (leaves in tree order; the treedef is reconstructed from
+    a structural template at load — classes and static fields never touch
+    disk, so files stay portable across code changes that don't alter the
+    leaf structure);
+  * ``resume_barrier`` continues a barrier continuation from a
+    checkpointed Solution: the continuation is memoryless given (x, t) —
+    the barrier parameter is recovered from the certified gap (t = m/gap)
+    and passed back as ``t0`` (barrier_solve/BarrierSolver.scala:73 starts
+    at t0=1 only because the reference cannot resume).
+
+Large batched runs (the north-star fleet workloads) can therefore be
+stopped and continued for free, e.g. between preemptions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, TypeVar
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_T = TypeVar("_T")
+
+
+def save_pytree(path: str, tree: Any) -> int:
+    """Save every array leaf of ``tree`` to ``path`` (.npz).  Returns the
+    number of leaves written."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    np.savez(path, **{f"leaf_{i}": np.asarray(leaf)
+                      for i, leaf in enumerate(leaves)})
+    return len(leaves)
+
+
+def load_pytree(path: str, like: _T) -> _T:
+    """Load a pytree saved by ``save_pytree``.  ``like`` supplies the
+    structure (same type/treedef as the saved object; its leaf VALUES are
+    ignored)."""
+    data = np.load(path)
+    leaves_like, treedef = jax.tree_util.tree_flatten(like)
+    if len(data.files) != len(leaves_like):
+        raise ValueError(
+            f"checkpoint has {len(data.files)} leaves, template has "
+            f"{len(leaves_like)} — structure changed since saving")
+    leaves = [jnp.asarray(data[f"leaf_{i}"])
+              for i in range(len(leaves_like))]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def resume_barrier(obj, cnts, sol, pars=None, eqs=None):
+    """Continue a barrier continuation from a checkpointed Solution.
+
+    The barrier method's whole state is (x, t): ``sol.x`` is strictly
+    feasible (it is an interior iterate) and the barrier parameter is
+    recovered from the reported continuation gap ``m/t``.  Returns the
+    finished Solution — bitwise-equivalent in result quality to having run
+    the continuation straight through (the continuation is memoryless).
+    """
+    from .solvers.barrier import barrier_solve
+    from .solvers.types import SolverParams
+
+    pars = pars or SolverParams()
+    m = cnts.m
+    gap = float(sol.duality_gap)
+    if not np.isfinite(gap) or gap <= 0:
+        raise ValueError(
+            f"cannot resume from gap={gap!r} (unhealthy checkpoint — "
+            "check sol.status)")
+    t0 = pars.mu * m / gap  # next stage after the checkpointed one
+    return barrier_solve(obj, cnts, sol.x, pars, eqs=eqs, t0=t0)
