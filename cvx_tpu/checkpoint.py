@@ -74,5 +74,10 @@ def resume_barrier(obj, cnts, sol, pars=None, eqs=None):
         raise ValueError(
             f"cannot resume from gap={gap!r} (unhealthy checkpoint — "
             "check sol.status)")
+    if gap <= pars.tol:
+        # already past the target: re-entering the continuation with
+        # t0 > t_max would skip the loop and return its (inf, inf) init
+        # diagnostics — the checkpoint IS the finished solution
+        return sol
     t0 = pars.mu * m / gap  # next stage after the checkpointed one
     return barrier_solve(obj, cnts, sol.x, pars, eqs=eqs, t0=t0)

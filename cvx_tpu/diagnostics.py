@@ -72,6 +72,10 @@ def kl_gap_certificate_np(X, H, u, steps: int = 10):
     gap_i = f(x_i) - g(z_i) <= f(x_i) - p*_i.  Returns (batch,) gaps.
     """
     X = np.asarray(X, np.float64)
+    # coordinates that underflowed to exactly 0 would give log(0) = -inf
+    # and NaN-poison the whole instance; x log(n x) -> 0 as x -> 0+, so
+    # clamping to a tiny positive value changes f(x) by < 1e-28
+    X = np.maximum(X, 1e-30)
     Hf = np.asarray(H, np.float64)
     batch, n = X.shape
     k = Hf.shape[0]

@@ -62,8 +62,8 @@ def _small_solve(A: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.linalg.solve(A, b)
 
 
-def _polish_dual(obj: Any, z: jax.Array, num_ineq: int, steps: int,
-                 pars: SolverParams | None = None) -> jax.Array:
+def _polish_dual(obj: Any, z: jax.Array, num_ineq: int,
+                 steps: int) -> jax.Array:
     """Active-set projected-Newton polish of the dual optimum.
 
     The barrier solve stops at duality gap ~ m/t; the PRIMAL recovery
@@ -210,12 +210,21 @@ def solve_dual(
     z = sol.x
     if polish_steps > 0:
         # f32 repair (and free f64 sharpening): see _polish_dual
-        z = _polish_dual(neg_dual_objective, z, num_ineq, polish_steps, pars)
+        z = _polish_dual(neg_dual_objective, z, num_ineq, polish_steps)
     from .tree import replace
 
+    # refresh the gradient diagnostic for the POLISHED point.  duality_gap
+    # keeps the dual barrier's m/t bound: the polish only improves z, so
+    # the bound stays valid (conservative); problem-specific callers with a
+    # closed-form primal objective report measured certificates instead
+    # (e.g. DistKL.solve_dual_newton).
+    g_pol = neg_dual_objective.grad(z)
+    at_b = jnp.logical_and(jnp.arange(z.shape[0]) < num_ineq,
+                           jnp.logical_and(z <= 0.0, g_pol > 0.0))
     return replace(
         sol,
         x=primal_optimum(z),
         lam=z[:num_ineq],
         nu=z[num_ineq:],
+        norm_grad=jnp.linalg.norm(jnp.where(at_b, 0.0, g_pol)),
     )

@@ -121,6 +121,9 @@ def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8):
 
     n = x.shape[0]
     dtype = x.dtype
+    # clamp coordinates that underflowed to exactly 0: log(0) = -inf would
+    # poison the fit; x log(n x) -> 0 as x -> 0+, so f changes negligibly
+    x = jnp.maximum(x, jnp.asarray(1e-30, dtype))
     k = H.shape[0]
     B = jnp.concatenate([H, A], axis=0)          # (k+p, n)
     w = jnp.concatenate([u, b])
@@ -291,8 +294,13 @@ class DistKL:
         from ..ops.pallas_kl_dual import kl_dual_fused
 
         dtype = self.H.dtype
+        # interpret mode off-TPU (Mosaic only lowers for real TPUs); small
+        # tiles keep the interpreter fast
+        on_tpu = jax.devices()[0].platform == "tpu"
         x, gap = kl_dual_fused(self.H[None], self.u[None], n_steps=steps,
-                               z0=float(pars.dual_start))
+                               z0=float(pars.dual_start),
+                               interpret=not on_tpu,
+                               bt=256 if on_tpu else 8)
         x, gap = x[0], gap[0]
         nan = jnp.asarray(jnp.nan, dtype)
         eps = jnp.finfo(dtype).eps
@@ -404,12 +412,19 @@ class DistKL:
                 gap, z = kl_dual_gap(self.H, self.u, A_full, b_full, x)
                 lam = jnp.concatenate([z[:k], 1.0 / (t_final * x)])
                 nan = jnp.asarray(jnp.nan, dtype)
+                eps = jnp.finfo(dtype).eps
+                # per-instance health from the MEASURED gap + finiteness
+                # (the fixed branch-free schedule has no stall signal of
+                # its own; a diverged instance must still be flagged)
+                stalled = jnp.logical_or(
+                    jnp.logical_not(jnp.all(jnp.isfinite(x))),
+                    jnp.logical_not(gap < jnp.sqrt(eps)))
                 return Solution(
                     x=x, lam=lam, nu=z[k:], newton_decrement=nan,
                     duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
                     norm_grad=nan, norm_dual_residual=nan,
                     iters=jnp.asarray(n_outer * n_inner),
-                    maxed_out=jnp.asarray(False), stalled=jnp.asarray(False),
+                    maxed_out=jnp.asarray(False), stalled=stalled,
                 )
         if method == "BR_fast":
             # structure-exploiting primal barrier: the KL barrier Hessian is

@@ -153,16 +153,25 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
                 -(m[(0, 0)] * gf[1] - m[(0, 1)] * gf[0]) / det,
             ]
 
+        # a lam ALREADY at its bound cannot move down: zero that component
+        # of the direction (otherwise t_bd = 0 freezes the whole step; the
+        # active-set mask above catches the g > 0 case, this catches the
+        # rarer coupled g < 0, dz < 0 case)
+        for j in range(k):
+            dz[j] = jnp.where(jnp.logical_and(z[j] <= 0.0, dz[j] < 0.0),
+                              0.0, dz[j])
         # fraction-to-boundary: cap the full step at the first lam boundary
         # so NO candidate needs projection (z + t dz keeps lam >= 0 for
         # t <= t_bd; the t_bd candidate lands exactly ON the boundary and
-        # the next step freezes that coordinate)
+        # the next step freezes that coordinate).  No artificial floor —
+        # a floor above t_bd would score candidates at unprojected
+        # (lam < 0) points and break the monotone-bound property.
         t_bd = jnp.full((bt, 1), jnp.inf, dtype)
         for j in range(k):
             tj = jnp.where(dz[j] < 0, -z[j] / jnp.where(dz[j] < 0, dz[j],
                                                         -1.0), jnp.inf)
             t_bd = jnp.minimum(t_bd, tj)
-        t_full = jnp.clip(t_bd, 1.0 / 1024, 1.0)
+        t_full = jnp.clip(t_bd, 0.0, 1.0)
 
         # candidates are halvings of t_full along the ray:
         #   y(z + t dz) = y(z) * exp(-t (B'dz)),  and halving t takes a

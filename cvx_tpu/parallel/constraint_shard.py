@@ -160,7 +160,7 @@ def barrier_solve_msharded(
             return x, it, hard
 
         def outer_cond(carry):
-            x, t, it, n_newton, hard = carry
+            x, t, it, n_newton, hard, t_active = carry
             gap = m / (t / pars.mu)
             eq_ok = (jnp.linalg.norm(b_ - A_ @ x) < eq_tol if has_eqs
                      else jnp.asarray(True))
@@ -169,19 +169,25 @@ def barrier_solve_msharded(
             return jnp.logical_and(go, t <= t_max)
 
         def outer_body(carry):
-            x, t, it, n_newton, hard = carry
-            x, inner_it, hard_i = inner(t, x)
-            return (x, pars.mu * t, it + 1, n_newton + inner_it,
-                    jnp.logical_or(hard, hard_i))
+            x, t, it, n_newton, hard, t_active = carry
+            x_new, inner_it, hard_i = inner(t, x)
+            # track the last t the iterate actually moved at: once Newton
+            # drops below roundoff the continuation keeps annealing but x
+            # freezes — the dual estimate must use the t x tracks (same
+            # rationale as solvers/barrier.py t_active)
+            moved = jnp.any(x_new != x)
+            t_active = jnp.where(moved, t, t_active)
+            return (x_new, pars.mu * t, it + 1, n_newton + inner_it,
+                    jnp.logical_or(hard, hard_i), t_active)
 
-        x, t, outer_it, n_newton, hard = lax.while_loop(
+        x, t, outer_it, n_newton, hard, t_active = lax.while_loop(
             outer_cond, outer_body,
             (x0, jnp.asarray(t0, dtype), jnp.asarray(0), jnp.asarray(0),
-             jnp.asarray(False)))
+             jnp.asarray(False), jnp.asarray(t0, dtype)))
 
         t_solved = t / pars.mu
         d_exit = margins(x)
-        lam = 1.0 / (t_solved * d_exit)           # local shard of the duals
+        lam = 1.0 / (t_active * d_exit)           # local shard of the duals
         bad_exit = lax.psum(
             jnp.logical_not(jnp.logical_and(
                 jnp.all(jnp.isfinite(d_exit)),
