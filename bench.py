@@ -104,7 +104,7 @@ def main():
         # whole dual solve in ONE Pallas kernel (ops/pallas_kl_dual.py)
         from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
 
-        steps = int(os.environ.get("BENCH_DUAL_STEPS", 20))
+        steps = int(os.environ.get("BENCH_DUAL_STEPS", 16))
         Hb = jnp.tile(H[None], (batch, 1, 1))
 
         def vsolve(pA, pB):

@@ -123,7 +123,7 @@ def kl_batch(records, n, batch, dtype, on_tpu):
         log(f"skip dual_fused at n={n} on CPU (interpret mode too slow)")
         return
     Hb = jnp.tile(H[None], (batch, 1, 1))
-    steps = 20
+    steps = 16
     # VMEM budget: keep bt * n_padded tiles ~ a few MB
     bt = 256 if n <= 128 else (64 if n <= 1024 else 8)
 

@@ -283,7 +283,7 @@ class DistKL:
         )
 
     def solve_dual_fused(self, pars: SolverParams | None = None,
-                         steps: int = 15) -> Solution:
+                         steps: int = 16) -> Solution:
         """Whole dual solve in one Pallas kernel (method="dual_fused") —
         see ops/pallas_kl_dual.py.  Falls back to the XLA dual_fast route
         when the shapes don't fit the kernel (k > 2 or extra equalities)."""

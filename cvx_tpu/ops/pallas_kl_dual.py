@@ -265,9 +265,9 @@ def kl_dual_fused(
     Hs: jax.Array,   # (B, k, n) scenario rows
     u: jax.Array,    # (B, k)
     *,
-    n_steps: int = 20,
+    n_steps: int = 16,
     z0: float = 1e-3,
-    n_ls: int = 8,
+    n_ls: int = 5,
     bt: int = 256,
     interpret: bool = False,
 ):
