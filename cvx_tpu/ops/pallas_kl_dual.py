@@ -11,10 +11,16 @@ instances in VMEM and iterates
     grad   = w - B y                                   3 x (bt, 1)
     hess   = B diag(y) B'    (closed-form 3x3 solve)   6 x (bt, 1)
     dz     = -Hf^-1 gf       (bound-active coords frozen)
-    line search over fixed fractions + exact step-to-boundary,
-    value acceptance with gradient-norm fallback at the value floor
+    line search over halvings of the fraction-to-boundary step (one exp
+    + cheap sqrts), value acceptance with a guarded exact quadratic-model
+    fallback below the value-resolution floor
 
 then recovers x = y / sum(y) and the measured in-kernel gap f(x) - g(z).
+
+MEASURED (TPU v5e, 10k instances, n=100, f32, best-of-3 chained timing):
+15.5 ms per batch solve (643k instances/s, 64x the north star) at
+certificate gap max 3.6e-6 — vs ~25 ms for the XLA dual_fast route and
+66 ms for the fused primal barrier kernel.
 
 Shapes: k <= 2 scenario rows + the sum-to-one equality (dual dim k+1 <= 3),
 the flagship Dist_KL family.  Mosaic notes (same as ops/pallas_kl.py): all
