@@ -48,7 +48,7 @@ def main():
     # TPU default: the whole projected-Newton dual solve fused into ONE
     # Pallas kernel (ops/pallas_kl_dual.py) — the reference's own preferred
     # route (Dist_KL.scala:59-65), measured both faster AND more accurate
-    # than the fused primal barrier kernel (15.5 ms vs 66 ms per
+    # than the fused primal barrier kernel (~16 ms vs 66 ms per
     # 10k-instance batch; certificate gap ~3.6e-6 vs 2.7e-5 in f32).
     method = os.environ.get("BENCH_METHOD",
                             "dual_fused" if on_tpu else "BR_fast")

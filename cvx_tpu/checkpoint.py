@@ -50,8 +50,17 @@ def load_pytree(path: str, like: _T) -> _T:
         raise ValueError(
             f"checkpoint has {len(data.files)} leaves, template has "
             f"{len(leaves_like)} — structure changed since saving")
-    leaves = [jnp.asarray(data[f"leaf_{i}"])
-              for i in range(len(leaves_like))]
+    leaves = []
+    for i, tmpl in enumerate(leaves_like):
+        loaded = data[f"leaf_{i}"]
+        t_shape = jnp.shape(tmpl)
+        t_dtype = jnp.result_type(tmpl)
+        if loaded.shape != t_shape or loaded.dtype != t_dtype:
+            raise ValueError(
+                f"checkpoint leaf {i} is {loaded.dtype}{list(loaded.shape)} "
+                f"but the template expects {t_dtype}{list(t_shape)} — "
+                "same-arity reshape would mis-broadcast downstream")
+        leaves.append(jnp.asarray(loaded))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

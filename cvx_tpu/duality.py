@@ -150,8 +150,11 @@ def _polish_dual(obj: Any, z: jax.Array, num_ineq: int,
         # SNAP to the bound: the exact step-to-boundary leaves an O(eps*z)
         # positive residual in the landing coordinate, which then never
         # freezes — the next direction re-crashes into the boundary and the
-        # coupled step jams.  Anything within rounding of 0 IS 0.
-        snap = 32.0 * eps * jnp.abs(z)
+        # coupled step jams.  The landing residual is <= ~4 eps |z| (one
+        # divide + one multiply-add), so 8 eps |z| catches it while leaving
+        # a DELIBERATELY computed small positive lam (an interior minimum
+        # near the bound, resolvable above rounding) alone.
+        snap = 8.0 * eps * jnp.abs(z)
         z_out = jnp.where(jnp.logical_and(mask, z_out <= snap), 0.0, z_out)
         return z_out
 

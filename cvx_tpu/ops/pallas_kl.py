@@ -22,16 +22,17 @@ Reference parity: this is the fused TPU materialization of the barrier
 recipe in cvx/BarrierSolver.scala + cvx/KKTSystem.scala specialized by the
 structure argument of KKTSystem.scala:17-21.
 
-MEASURED (TPU v5e, 10k instances, n=100, f32, chained execution with forced
-transfers so the remote-execution pipeline cannot hide latency; after the
-closed-form feasible-step bound shrank the line-search tensor to n_ls = 12
-candidates and the continuation was tuned to mu = 55 with 3 Newton
-steps/stage — see bench.py):
+MEASURED (TPU v5e, 10k instances, n=100, f32, best-of-3 chained execution
+with forced transfers so the remote-execution pipeline cannot hide latency;
+closed-form feasible-step bound, n_ls = 12 candidates, mu = 55 with 3
+Newton steps/stage — see docs/SCALING.md for the single table of record):
 
-    XLA structured path (solvers/structured.py):  171 ms / batch solve
-    this fused kernel:                             99 ms / batch solve
+    XLA structured path (solvers/structured.py):  ~100+ ms / batch solve
+    this fused kernel:                              66 ms / batch solve
 
-This kernel is the TPU bench default (bench.py BENCH_METHOD=fused).  Two
+The TPU bench DEFAULT is the fused DUAL kernel (ops/pallas_kl_dual.py,
+bench.py BENCH_METHOD=dual_fused), which beats this primal kernel ~4x;
+this kernel remains the fastest PRIMAL route (BENCH_METHOD=fused).  Two
 earlier kernel formulations were killed by Mosaic behavior worth recording:
 (a) tiny-dimension tensors ((bt,k,k) matrices, 4-D broadcast-reduces) get
 scalarized, ~1000x slower; the current version unrolls the k<=2/p=1 algebra
@@ -47,6 +48,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+
+from .cholesky import default_delta
 
 
 def _round_up(x: int, m: int) -> int:
@@ -104,7 +107,7 @@ def _kl_fused_kernel(hs_ref, u_ref, a_ref, b_ref, x0_ref, x_ref, *,
     kk = jnp.arange(n_ls)
     expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(dtype)
     ls_ts = beta ** expo                            # (n_ls,)
-    delta = 1e-10 if jnp.finfo(dtype).bits >= 64 else 3e-6
+    delta = default_delta(dtype)
 
     def rdot(a, b):
         """row-wise dot: (bt, n) x (bt, n) -> (bt, 1)"""

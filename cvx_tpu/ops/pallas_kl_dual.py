@@ -17,8 +17,9 @@ instances in VMEM and iterates
 
 then recovers x = y / sum(y) and the measured in-kernel gap f(x) - g(z).
 
-MEASURED (TPU v5e, 10k instances, n=100, f32, best-of-3 chained timing):
-15.5 ms per batch solve (643k instances/s, 64x the north star) at
+MEASURED (TPU v5e, 10k instances, n=100, f32, best-of-3 chained timing;
+driver-captured number of record, see README "Measured headline"):
+16.2 ms per batch solve (616k instances/s, 62x the north star) at
 certificate gap max 3.6e-6 — vs ~25 ms for the XLA dual_fast route and
 66 ms for the fused primal barrier kernel.
 
@@ -245,9 +246,11 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
                          for j in range(dim)])
         # SNAP to the bound: the step-to-boundary candidate leaves an
         # O(eps*z) positive residual in the landing lam, which then never
-        # freezes and the coupled direction jams (see duality._polish_dual)
+        # freezes and the coupled direction jams.  8 eps |z| catches the
+        # <= ~4 eps |z| landing residual without zeroing a deliberately
+        # computed small positive lam (see duality._polish_dual).
         for j in range(k):
-            z_new[j] = jnp.where(z_new[j] <= 32.0 * eps * jnp.abs(z[j]),
+            z_new[j] = jnp.where(z_new[j] <= 8.0 * eps * jnp.abs(z[j]),
                                  0.0, z_new[j])
         return tuple(z_new)
 

@@ -31,6 +31,7 @@ import jax
 from jax import lax
 import jax.numpy as jnp
 
+from ..ops.cholesky import default_delta
 from ..problem.constraint_set import ConstraintSet
 from ..problem.equality import EqualityConstraint
 from ..problem.objective import LinearObjective
@@ -159,7 +160,7 @@ def _phase1_linear_structured(
         inv_h = 1.0 / h
         JD = J * inv_h[None, :]
         M = jnp.diag(1.0 / w) + JD @ J.T
-        M = M + (1e-10 if jnp.finfo(dtype).bits >= 64 else 3e-6) * \
+        M = M + default_delta(dtype) * \
             jnp.mean(jnp.abs(jnp.diag(M))) * jnp.eye(m, dtype=dtype)
         L = jnp.linalg.cholesky(M)
         y = jax.scipy.linalg.cho_solve((L, True), JD @ g)

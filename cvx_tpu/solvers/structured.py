@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .types import Solution, SolverParams
+from ..ops.cholesky import default_delta
 from ..tree import mxu_exact
 
 
@@ -97,7 +98,7 @@ def barrier_solve_structured(
     eq_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 100.0 * eps)
     delta = pars.chol_delta
     if delta is None:
-        delta = 1e-10 if jnp.finfo(dtype).bits >= 64 else 3e-6
+        delta = default_delta(dtype)
     t_max = 10.0 * pars.mu * m / pars.tol
     # the feasible step range is computed in closed form (all constraints are
     # linear in s), so only a few Armijo candidates are needed below s_max
