@@ -34,8 +34,11 @@ def log(*a):
 def main():
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    if not on_tpu:
-        jax.config.update("jax_enable_x64", True)
+    # x64 is needed by the certified finishing pass (BENCH_CERT, default
+    # on); all f32 arrays below carry explicit dtypes, so enabling it does
+    # not change the f32 fast path.  On TPU f64 is emulated by XLA
+    # (measured: exp to 2e-12 rel, einsum to 1e-14).
+    jax.config.update("jax_enable_x64", True)
 
     batch = int(os.environ.get("BENCH_BATCH", 10000 if on_tpu else 256))
     n = int(os.environ.get("BENCH_N", 100))
@@ -190,6 +193,54 @@ def main():
         f"measured gap: max={gap_max:.2e} "
         f"median={float(np.median(gap_cert)):.2e}  "
         f"max |sum-1|={float(np.max(sums)):.2e}")
+
+    # CERTIFIED mode (BENCH_CERT, default on for the dual routes): f32
+    # fused-kernel solve + on-chip f64 finishing pass, certified to the
+    # reference's WRITTEN gap contract 1e-8 (SolverParams.scala:41).  The
+    # per-instance gap/ineq/eq residuals come back MEASURED in f64 from
+    # the device — no host recompute in the honest-number path.
+    if (os.environ.get("BENCH_CERT", "1") != "0"
+            and method in ("dual_fused", "dual_fast")):
+        def cert_one(pA_i, pB_i):
+            u = jnp.stack([-pA_i, pB_i]).astype(dtype)
+            prob = DistKL.create(n, H=H, u=u, dtype=dtype)
+            s = prob.solve_certified(pars)
+            return s.x, s.duality_gap, s.ineq_res, s.eq_gap
+
+        vcert = jax.vmap(cert_one)
+        reps_c = max(3, reps // 2)
+
+        @jax.jit
+        def chained_cert(pA, pB):
+            xs, g, ir, eg = vcert(pA, pB)
+
+            def body(i, carry):
+                pA_, xs, g, ir, eg = carry
+                xs, g, ir, eg = vcert(pA_, pB)
+                return pA_ + 1e-12 * jnp.mean(xs), xs, g, ir, eg
+
+            return jax.lax.fori_loop(
+                0, reps_c - 1, body,
+                (pA + 1e-12 * jnp.mean(xs), xs, g, ir, eg))
+
+        t0 = time.perf_counter()
+        _, cx, cg, cir, ceg = chained_cert(pA, pB)
+        cx = np.asarray(cx)
+        cert_compile = time.perf_counter() - t0
+        cert_el = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, cx, cg, cir, ceg = chained_cert(pA, pB)
+            cx = np.asarray(cx)
+            cert_el = min(cert_el, (time.perf_counter() - t0) / reps_c)
+        cg = np.asarray(cg); cir = np.asarray(cir); ceg = np.asarray(ceg)
+        log(f"certified (f32 kernel + f64 finish): compile {cert_compile:.1f}s "
+            f"solve {cert_el*1e3:.1f}ms ({batch/cert_el:,.0f} inst/s, "
+            f"{cert_el/elapsed:.1f}x f32-only)  measured gap: "
+            f"max={float(np.max(cg)):.2e} min={float(np.min(cg)):.2e}  "
+            f"ineq_res max={float(np.max(cir)):.2e}  "
+            f"eq max={float(np.max(ceg)):.2e}  "
+            f"contract gap<=1e-8: {'PASS' if np.max(cg) <= 1e-8 else 'FAIL'}")
 
     instances_per_s = batch / elapsed
     # north star: 10k instances (n=100) in < 1 s  =>  10k instances/s

@@ -221,8 +221,8 @@ def separable_config5(records, dtype):
     @jax.jit
     def run(a_):
         prob_ = SeparableProblem(P=P, a=a_, G=G, u=u, C=C, c=c)
-        x, info = separable_barrier_solve(prob_, x0, pars)
-        return x, info["newton_iters"], info["gap"]
+        sol = separable_barrier_solve(prob_, x0, pars)
+        return sol.x, sol.iters, sol.duality_gap
 
     reps = 1
     sec, (x, iters, gap) = timed(run, a, reps=reps)

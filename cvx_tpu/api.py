@@ -44,8 +44,9 @@ def minimize(
     OptimizationProblem.scala:133-157).
     """
     pars = pars or SolverParams()
-    if method not in ("BR", "PD"):
-        raise ValueError(f"unknown solver method: {method!r} (use 'BR'/'PD')")
+    if method not in ("BR", "PD", "BR_fast"):
+        raise ValueError(f"unknown solver method: {method!r} "
+                         "(use 'BR'/'PD'/'BR_fast')")
 
     if constraints is None:
         # unconstrained (possibly equality-constrained) Newton
@@ -80,6 +81,26 @@ def minimize(
             constraints, x0, pars, equalities, method=phase1_method
         )
 
+    if method == "BR_fast":
+        # structured Woodbury barrier: requires a diagonal-Hessian
+        # objective (hess_diag), all-linear constraints, and an explicit
+        # positivity block (the structured barrier bakes x > 0 in).  The
+        # Newton step then costs O(n (k+p)^2) with no (n, n) intermediates.
+        U, ub = _extract_structured_rows(constraints)
+        if not hasattr(objective, "hess_diag"):
+            raise ValueError(
+                "BR_fast needs an objective with hess_diag (diagonal "
+                "Hessian); use method='BR' for dense Hessians")
+        from .solvers.structured import barrier_solve_structured
+
+        dtype = feasible_point.dtype
+        if equalities is not None:
+            A_, b_ = equalities.A, equalities.b
+        else:
+            A_ = jnp.zeros((0, feasible_point.shape[0]), dtype)
+            b_ = jnp.zeros((0,), dtype)
+        return barrier_solve_structured(objective, U, ub, A_, b_,
+                                        feasible_point, pars)
     if method == "BR":
         return barrier_solve(objective, constraints, feasible_point, pars,
                              eqs=equalities)
@@ -88,3 +109,44 @@ def minimize(
 
     return primal_dual_solve(objective, constraints, feasible_point, pars,
                              eqs=equalities)
+
+
+def _extract_structured_rows(constraints: ConstraintSet):
+    """Split a DiagQP-shaped ConstraintSet into (U, ub) dense rows for the
+    structured barrier, which handles positivity x > 0 itself.
+
+    Requires: every block linear, and exactly one block that IS the
+    positivity block -x <= 0 (as built by ``problem.constraints.positivity``).
+    Offsets c are folded into ub (c + Gx <= ub  <=>  Gx <= ub - c).
+    Raises ValueError when the set is not structured-solvable — callers
+    should fall back to method='BR'.
+    """
+    import numpy as np
+
+    from .problem.constraints import LinearBlock
+
+    n = constraints.dim
+    rows, ubs = [], []
+    saw_positivity = False
+    for blk in constraints.blocks:
+        if not isinstance(blk, LinearBlock):
+            raise ValueError(
+                "BR_fast needs all-linear constraints; found "
+                f"{type(blk).__name__} (use method='BR')")
+        G_np = np.asarray(blk.G)
+        off_np = np.asarray(blk.ub - blk.c)
+        if (blk.m == n and np.array_equal(G_np, -np.eye(n))
+                and np.all(off_np == 0.0)):
+            saw_positivity = True
+            continue
+        rows.append(blk.G)
+        ubs.append(blk.ub - blk.c)
+    if not saw_positivity:
+        raise ValueError(
+            "BR_fast's structured barrier bakes in x > 0: the constraint "
+            "set must contain the positivity block (-I) x <= 0 "
+            "(problem.constraints.positivity); use method='BR' otherwise")
+    dtype = constraints.ub.dtype
+    if rows:
+        return jnp.concatenate(rows, axis=0), jnp.concatenate(ubs)
+    return jnp.zeros((0, n), dtype), jnp.zeros((0,), dtype)

@@ -14,7 +14,19 @@ carries), so checkpointing is pure serialization:
     checkpointed Solution: the continuation is memoryless given (x, t) —
     the barrier parameter is recovered from the certified gap (t = m/gap)
     and passed back as ``t0`` (barrier_solve/BarrierSolver.scala:73 starts
-    at t0=1 only because the reference cannot resume).
+    at t0=1 only because the reference cannot resume);
+  * ``resume_structured`` — the same (x, t)-memorylessness argument for
+    the PRODUCTION route ``solvers.structured.barrier_solve_structured``
+    (BR_fast): fleet preemption coverage for the fast path, not only the
+    dense one.
+
+Fused Pallas kernels (ops/pallas_kl.py, ops/pallas_kl_dual.py) run a FIXED
+branch-free schedule with no mid-kernel state to checkpoint; their resume
+story is: re-run the kernel with the checkpointed iterate as the start
+(``DistKL.solve_jittable(sol.x, method="fused")`` — x is an interior
+point, and re-running the schedule from a better start only sharpens the
+result).  The dual kernel solves in ~16 ms/10k instances; re-running it
+outright IS the resume.
 
 Large batched runs (the north-star fleet workloads) can therefore be
 stopped and continued for free, e.g. between preemptions.
@@ -90,3 +102,31 @@ def resume_barrier(obj, cnts, sol, pars=None, eqs=None):
         return sol
     t0 = pars.mu * m / gap  # next stage after the checkpointed one
     return barrier_solve(obj, cnts, sol.x, pars, eqs=eqs, t0=t0)
+
+
+def resume_structured(obj, U, ub, A, b, sol, pars=None):
+    """Continue a STRUCTURED (Woodbury) barrier continuation — the BR_fast
+    production route — from a checkpointed Solution.
+
+    Same memorylessness argument as ``resume_barrier``: the continuation
+    state is exactly (x, t); ``sol.x`` is a strictly feasible interior
+    iterate and t is recovered from the reported continuation gap
+    m/t with m = k + n (the k dense rows plus the n built-in positivity
+    terms, solvers/structured.py).  The finished Solution matches a
+    straight-through run to certificate level
+    (tests/test_round3.py::TestResumeProduction).
+    """
+    from .solvers.structured import barrier_solve_structured
+    from .solvers.types import SolverParams
+
+    pars = pars or SolverParams()
+    m = U.shape[0] + sol.x.shape[-1]
+    gap = float(sol.duality_gap)
+    if not np.isfinite(gap) or gap <= 0:
+        raise ValueError(
+            f"cannot resume from gap={gap!r} (unhealthy checkpoint — "
+            "check sol.status)")
+    if gap <= pars.tol:
+        return sol
+    t0 = pars.mu * m / gap
+    return barrier_solve_structured(obj, U, ub, A, b, sol.x, pars, t0=t0)

@@ -98,7 +98,12 @@ def kl_gap_certificate_np(X, H, u, steps: int = 10):
 
     f0 = neg_g(Z)
     eye = np.eye(dim)
+    eps = np.finfo(np.float64).eps
     for _ in range(steps):
+        # pre-snap positive-but-below-rounding lam to exactly 0 so the
+        # active-set freeze can see it (see duality._polish_dual)
+        tiny = 64.0 * eps * (1.0 + np.max(np.abs(Z), axis=1, keepdims=True))
+        Z[:, :k] = np.where(Z[:, :k] <= tiny, 0.0, Z[:, :k])
         Y = np.exp(-(Z @ B)) / (n * np.e)
         grad = W - Y @ B.T
         at_bound = np.zeros((batch, dim), bool)

@@ -28,11 +28,16 @@ from .tree import mxu_exact
 
 
 def _small_solve(A: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve a tiny (dim <= 3) symmetric system in closed form (adjugate).
+    """Solve a tiny symmetric positive-definite system in closed form.
 
     Batched tiny LU (``jnp.linalg.solve`` under vmap) scalarizes on TPU —
     measured ~100x slower than this closed form for the (batch, 3, 3)
-    Newton systems of the KL dual.  Falls back to LU for dim > 3.
+    Newton systems of the KL dual — and f64 LU does not lower on the TPU
+    backend at all.  dim <= 3 uses the adjugate; dim 4-8 an UNROLLED
+    scalar Cholesky (straight-line code, vectorizes cleanly under vmap);
+    only dim > 8 falls back to LU.  Callers (the dual Newton systems) are
+    SPD by construction: B diag(y) B' + ridge with unit rows for frozen
+    coordinates.
     """
     dim = A.shape[0]
     if dim == 1:
@@ -59,6 +64,35 @@ def _small_solve(A: jax.Array, b: jax.Array) -> jax.Array:
             (c01 * b[0] + c11 * b[1] + c21 * b[2]) / det,
             (c02 * b[0] + c12 * b[1] + c22 * b[2]) / det,
         ])
+    if dim <= 8:
+        # unrolled Cholesky A = L L' + forward/back substitution; max(.,
+        # tiny) keeps pathological (masked-singular) instances finite —
+        # their garbage steps are rejected by the callers' line searches
+        tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+        L = {}
+        for j in range(dim):
+            d = A[j, j]
+            for p in range(j):
+                d = d - L[(j, p)] * L[(j, p)]
+            L[(j, j)] = jnp.sqrt(jnp.maximum(d, tiny))
+            for i in range(j + 1, dim):
+                off = A[i, j]
+                for p in range(j):
+                    off = off - L[(i, p)] * L[(j, p)]
+                L[(i, j)] = off / L[(j, j)]
+        yv = []
+        for i in range(dim):
+            s = b[i]
+            for p in range(i):
+                s = s - L[(i, p)] * yv[p]
+            yv.append(s / L[(i, i)])
+        x = [None] * dim
+        for i in range(dim - 1, -1, -1):
+            s = yv[i]
+            for p in range(i + 1, dim):
+                s = s - L[(p, i)] * x[p]
+            x[i] = s / L[(i, i)]
+        return jnp.stack(x)
     return jnp.linalg.solve(A, b)
 
 
@@ -92,6 +126,16 @@ def _polish_dual(obj: Any, z: jax.Array, num_ineq: int,
         return jnp.where(mask, jnp.maximum(z_, 0.0), z_)
 
     def step(_, z):
+        # PRE-snap: a lam that is positive but below rounding resolution
+        # (e.g. the O(eps) residue of a least-squares init's clamp) fails
+        # the z <= 0 freeze test while its large inward gradient poisons
+        # the coupled Newton direction — every candidate then increases
+        # the value and the polish jams at the start.  Anything within
+        # rounding of 0 must BE 0 so the active-set mask can freeze it.
+        z = jnp.where(
+            jnp.logical_and(mask,
+                            z <= 64.0 * eps * (1.0 + jnp.max(jnp.abs(z)))),
+            0.0, z)
         f0 = obj.value(z)
         g = obj.grad(z)
         H = obj.hess(z)

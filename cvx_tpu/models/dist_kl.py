@@ -117,7 +117,7 @@ def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8):
     each step can only improve a valid bound).  Returns ``(gap, z)``.
     O(n (k+p)^2 * polish_steps) per instance; jittable and vmappable.
     """
-    from ..duality import _polish_dual
+    from ..duality import _polish_dual, _small_solve
 
     n = x.shape[0]
     dtype = x.dtype
@@ -137,8 +137,11 @@ def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8):
     BBt = BBt + (10 * jnp.finfo(dtype).eps
                  * jnp.mean(jnp.abs(jnp.diag(BBt)))
                  * jnp.eye(dim, dtype=dtype))
-    z = jnp.linalg.solve(BBt, jnp.einsum("in,n->i", B, c,
-                                         precision="highest"))
+    # closed-form/unrolled small solve: batched tiny LU scalarizes under
+    # vmap on TPU, and f64 LU does not lower on the TPU backend AT ALL
+    # ("Only F32 and C64 types are implemented in LuDecomposition")
+    z = _small_solve(BBt, jnp.einsum("in,n->i", B, c,
+                                     precision="highest"))
     z = jnp.where(mask, jnp.maximum(z, 0.0), z)
 
     neg_dual = _NegDualObjective(B=B, w=w, R=R)
@@ -146,6 +149,89 @@ def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8):
     dual_val = -neg_dual.value(z)
     primal_val = x @ jnp.log(n * x)
     return primal_val - dual_val, z
+
+
+@pytree_dataclass
+class KLCertificate:
+    """F64-certified refinement of a KL iterate (see ``kl_certify``)."""
+
+    x: jax.Array          # refined primal (f64)
+    gap: jax.Array        # MEASURED f(x) - g(z) in f64 (true bound)
+    ineq_res: jax.Array   # max(Hx - u, -x)_+ — inequality violation
+    eq_res: jax.Array     # max |Ax - b| over the FULL equality system
+    lam: jax.Array        # polished inequality duals (f64)
+    nu: jax.Array         # polished equality duals (f64)
+
+
+def kl_certify(H, u, A, b, x, polish_steps: int = 6):
+    """F64 finishing pass: refine a KL iterate to the reference's WRITTEN
+    1e-8 duality-gap contract and certify it with measured residuals.
+
+    The reference's whole accuracy story is f64 with gap < tolSolver = 1e-8
+    (SolverParams.scala:41, BarrierSolver.scala:102).  The f32 TPU routes
+    floor at a ~1e-6 measured gap (f32 value-resolution limit); this pass
+    lifts the data and the iterate to f64 — EMULATED on TPU, where exp is
+    accurate to ~2e-12 relative and einsums to ~1e-14 (measured on v5e) —
+    fits + polishes a dual-feasible z (``kl_dual_gap``), recovers the
+    refined primal x(z) = R exp(-B'z)/sum, and keeps whichever of
+    {refined, input} primal certifies the smaller gap.  O(n dim^2) per
+    polish step: trivial FLOPs even under f64 emulation.
+
+    ``A``/``b`` are the FULL equality system (sum-to-one row included).
+    Requires ``jax_enable_x64`` (raises at trace time otherwise — an f32
+    "certificate" would be the exact lie this function exists to prevent).
+    Jittable and vmappable; returns a ``KLCertificate``.
+    """
+    f64 = jnp.float64
+    if jnp.zeros((), f64).dtype != jnp.float64:
+        raise RuntimeError(
+            "kl_certify needs jax_enable_x64 (on TPU f64 is emulated but "
+            "accurate; without x64 the cast silently stays f32)")
+    H64 = H.astype(f64)
+    u64 = u.astype(f64)
+    A64 = A.astype(f64)
+    b64 = b.astype(f64)
+    x64 = x.astype(f64)
+    n = x.shape[0]
+    k = H.shape[0]
+    gap0, z = kl_dual_gap(H64, u64, A64, b64, x64,
+                          polish_steps=polish_steps)
+    B = jnp.concatenate([H64, A64], axis=0)
+    w = jnp.concatenate([u64, b64])
+    y = jnp.exp(-jnp.einsum("in,i->n", B, z, precision="highest")
+                - 1.0 - jnp.log(jnp.asarray(float(n), f64)))
+    x_ref = y / jnp.sum(y)
+    f_ref = x_ref @ jnp.log(n * x_ref)
+    gap_ref = f_ref + (w @ z + jnp.sum(y))   # f(x_ref) - g(z)
+
+    def residuals(xc):
+        viol = jnp.maximum(jnp.max(-xc), 0.0)
+        if k > 0:
+            viol = jnp.maximum(
+                viol, jnp.max(jnp.maximum(
+                    jnp.einsum("in,n->i", H64, xc,
+                               precision="highest") - u64, 0.0)))
+        eq = jnp.max(jnp.abs(
+            jnp.einsum("in,n->i", A64, xc, precision="highest") - b64))
+        return viol, eq
+
+    viol_ref, eq_ref = residuals(x_ref)
+    viol_in, eq_in = residuals(x64)
+    # Selection must weigh FEASIBILITY, not just the signed gap: an
+    # infeasible x has f(x) below p*, so its "gap" f(x) - g(z) can be
+    # spuriously NEGATIVE (the f32 kernel's renormalized x violates its
+    # active row by ~1e-7 and "wins" a min-gap comparison while being the
+    # worse point).  Score = suboptimality + violations, both ~multiplier
+    # scaled.
+    score_ref = jnp.maximum(gap_ref, 0.0) + viol_ref + eq_ref
+    score_in = jnp.maximum(gap0, 0.0) + viol_in + eq_in
+    better = jnp.logical_and(jnp.isfinite(score_ref), score_ref <= score_in)
+    x_out = jnp.where(better, x_ref, x64)
+    gap = jnp.where(better, gap_ref, gap0)
+    viol = jnp.where(better, viol_ref, viol_in)
+    eq_res = jnp.where(better, eq_ref, eq_in)
+    return KLCertificate(x=x_out, gap=gap, ineq_res=viol, eq_res=eq_res,
+                         lam=z[:k], nu=z[k:])
 
 
 @pytree_dataclass
@@ -279,17 +365,30 @@ class DistKL:
             duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
             norm_grad=grad_norm, norm_dual_residual=nan,
             iters=jnp.asarray(steps), maxed_out=jnp.asarray(False),
-            stalled=stalled,
+            stalled=stalled, ineq_res=self._ineq_res(x),
         )
+
+    def _ineq_res(self, x: jax.Array) -> jax.Array:
+        """Measured max inequality violation max(Hx - u, -x)_+ of an
+        iterate — the renormalized dual-route x can slightly violate an
+        active row, which a small gap alone would mask."""
+        viol = jnp.maximum(jnp.max(-x), 0.0)
+        if self.H.shape[0] > 0:
+            viol = jnp.maximum(viol, jnp.max(jnp.maximum(
+                jnp.einsum("in,n->i", self.H, x,
+                           precision="highest") - self.u, 0.0)))
+        return viol
 
     def solve_dual_fused(self, pars: SolverParams | None = None,
                          steps: int = 16) -> Solution:
         """Whole dual solve in one Pallas kernel (method="dual_fused") —
-        see ops/pallas_kl_dual.py.  Falls back to the XLA dual_fast route
-        when the shapes don't fit the kernel (k > 2 or extra equalities)."""
+        see ops/pallas_kl_dual.py.  The kernel covers dual dimension
+        k + 1 + mE <= 5 (k inequality rows, sum-to-one, mE extra
+        equalities); larger shapes fall back to the XLA dual_fast route."""
         pars = pars or SolverParams()
         k = self.H.shape[0]
-        if self.A.shape[0] != 0 or not (1 <= k <= 2):
+        m_eq = self.A.shape[0]
+        if k + m_eq < 1 or k + 1 + m_eq > 5:
             return self.solve_dual_newton(pars)
         from ..ops.pallas_kl_dual import kl_dual_fused
 
@@ -297,7 +396,10 @@ class DistKL:
         # interpret mode off-TPU (Mosaic only lowers for real TPUs); small
         # tiles keep the interpreter fast
         on_tpu = jax.devices()[0].platform == "tpu"
-        x, gap = kl_dual_fused(self.H[None], self.u[None], n_steps=steps,
+        x, gap = kl_dual_fused(self.H[None], self.u[None],
+                               self.A[None] if m_eq > 0 else None,
+                               self.r[None] if m_eq > 0 else None,
+                               n_steps=steps,
                                z0=float(pars.dual_start),
                                interpret=not on_tpu,
                                bt=256 if on_tpu else 8)
@@ -306,13 +408,45 @@ class DistKL:
         eps = jnp.finfo(dtype).eps
         return Solution(
             x=x, lam=jnp.full((k,), jnp.nan, dtype),
-            nu=jnp.full((1,), jnp.nan, dtype), newton_decrement=nan,
+            nu=jnp.full((1 + m_eq,), jnp.nan, dtype), newton_decrement=nan,
             duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
             norm_grad=nan, norm_dual_residual=nan,
             iters=jnp.asarray(steps), maxed_out=jnp.asarray(False),
             stalled=jnp.logical_or(
                 jnp.logical_not(jnp.all(jnp.isfinite(x))),
                 gap > jnp.sqrt(eps)),
+            ineq_res=self._ineq_res(x),
+        )
+
+    def solve_certified(self, pars: SolverParams | None = None,
+                        steps: int = 16,
+                        polish_steps: int = 6) -> Solution:
+        """F32 fused-kernel dual solve + on-chip f64 finishing pass
+        (method="dual_fused_cert"): the TPU route to the reference's
+        WRITTEN accuracy contract gap < tolSolver = 1e-8
+        (SolverParams.scala:41, BarrierSolver.scala:102).
+
+        The f32 Pallas kernel does the heavy lifting; ``kl_certify`` then
+        lifts the iterate to (TPU-emulated) f64, polishes the dual, and
+        returns the refined primal with MEASURED gap / inequality /
+        equality residuals.  Requires ``jax_enable_x64``.
+        """
+        pars = pars or SolverParams()
+        sol = self.solve_dual_fused(pars, steps=steps)
+        eqs = self.equalities
+        cert = kl_certify(self.H, self.u, eqs.A, eqs.b, sol.x,
+                          polish_steps=polish_steps)
+        nan = jnp.asarray(jnp.nan, jnp.float64)
+        stalled = jnp.logical_or(
+            jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
+            cert.gap > pars.tol)
+        return Solution(
+            x=cert.x, lam=cert.lam, nu=cert.nu, newton_decrement=nan,
+            duality_gap=cert.gap, eq_gap=cert.eq_res,
+            norm_grad=nan, norm_dual_residual=nan,
+            iters=jnp.asarray(steps + polish_steps),
+            maxed_out=jnp.asarray(False), stalled=stalled,
+            ineq_res=cert.ineq_res,
         )
 
     def solve(self, method: str = "dual", pars: SolverParams | None = None,
@@ -321,15 +455,19 @@ class DistKL:
 
         method: "dual" (barrier on the closed-form dual — the preferred
         low-dimensional route), "dual_fast" (direct projected-Newton on the
-        dual — the batch workhorse), "dual_PD", "BR" (primal barrier), "PD"
-        (primal primal-dual).  Primal routes run phase-I at construction
-        unless ``feasible_point`` is given (Dist_KL.scala:307).
+        dual — the batch workhorse), "dual_fused" (whole dual solve in one
+        Pallas kernel), "dual_fused_cert" (fused kernel + f64 finishing
+        pass certified to gap < 1e-8, needs x64), "dual_PD", "BR" (primal
+        barrier), "PD" (primal primal-dual).  Primal routes run phase-I at
+        construction unless ``feasible_point`` is given (Dist_KL.scala:307).
         """
         pars = pars or SolverParams()
         if method == "dual_fast":
             return self.solve_dual_newton(pars)
         if method == "dual_fused":
             return self.solve_dual_fused(pars)
+        if method == "dual_fused_cert":
+            return self.solve_certified(pars)
         if method in ("dual", "dual_BR", "dual_PD"):
             inner = "PD" if method == "dual_PD" else "BR"
             return solve_dual(
@@ -370,6 +508,8 @@ class DistKL:
             return self.solve_dual_newton(pars)
         if method == "dual_fused":
             return self.solve_dual_fused(pars)
+        if method == "dual_fused_cert":
+            return self.solve_certified(pars)
         if method in ("dual", "dual_BR", "dual_PD"):
             inner = "PD" if method == "dual_PD" else "BR"
             return solve_dual(self.neg_dual_objective(), self.num_ineq_dual,
@@ -425,6 +565,7 @@ class DistKL:
                     norm_grad=nan, norm_dual_residual=nan,
                     iters=jnp.asarray(n_outer * n_inner),
                     maxed_out=jnp.asarray(False), stalled=stalled,
+                    ineq_res=self._ineq_res(x),
                 )
         if method == "BR_fast":
             # structure-exploiting primal barrier: the KL barrier Hessian is

@@ -123,6 +123,10 @@ class DiagQP:
     A: jax.Array    # (p, n)
     b: jax.Array    # (p,)
 
+    @property
+    def n(self) -> int:
+        return self.a.shape[-1]
+
     def value(self, x):
         return self.a @ x + 0.5 * jnp.sum(self.c * x * x)
 
@@ -131,6 +135,45 @@ class DiagQP:
 
     def hess_diag(self, x):
         return self.c
+
+    @property
+    def inequalities(self) -> ConstraintSet:
+        """U x <= ub plus the positivity rows the structured solver bakes
+        into its barrier — as an explicit ConstraintSet for phase-I."""
+        from ..problem.constraints import positivity
+
+        dtype = self.a.dtype
+        blocks = []
+        if self.U.shape[0] > 0:
+            blocks.append(rows_leq(self.U, self.ub))
+        blocks.append(positivity(self.n, dtype=dtype))
+        return ConstraintSet(blocks=tuple(blocks))
+
+    @property
+    def equalities(self) -> EqualityConstraint | None:
+        if self.A.shape[0] == 0:
+            return None
+        return EqualityConstraint(A=self.A, b=self.b)
+
+    def solve(self, pars: SolverParams | None = None,
+              feasible_point: jax.Array | None = None,
+              x0: jax.Array | None = None) -> Solution:
+        """Solve with automatic phase-I — the structured family's
+        no-feasible-point front door (round-3 verdict item 4; reference:
+        the factories at OptimizationProblem.scala:174-196 always offer
+        this path).  The all-linear constraint set routes phase-I to the
+        exact low-rank Woodbury analysis (solvers/phase1.py) built for
+        exactly these shapes; the host-side gate may raise
+        InfeasibleProblemError."""
+        pars = pars or SolverParams()
+        if feasible_point is None:
+            if x0 is None:
+                # positivity rows are defined everywhere; seed strictly
+                # inside the orthant so s0 = 1 + max residual stays modest
+                x0 = jnp.full((self.n,), 1.0, self.a.dtype)
+            feasible_point = find_feasible_point(
+                self.inequalities, x0, pars, self.equalities)
+        return self.solve_jittable(feasible_point, pars)
 
     def solve_jittable(self, feasible_point: jax.Array,
                        pars: SolverParams | None = None) -> Solution:

@@ -58,6 +58,39 @@ def ruiz_equilibrate(
     return d, scaled(d)
 
 
+@partial(jax.jit, static_argnames=("l2_rounds",))
+def ruiz_equilibrate0(
+    H: jax.Array, *, l2_rounds: int = 5
+) -> tuple[jax.Array, jax.Array]:
+    """The reference's SECOND Ruiz variant (MatrixUtils.scala:278-307
+    ``ruizEquilibrate0``): one round of l-infinity-norm equilibration
+    followed by ``l2_rounds`` fixed rounds of l2-norm equilibration.
+
+    Kept alongside ``ruiz_equilibrate`` so the two can be COMPARED — the
+    claim that the convergent l2 loop subsumes this variant is evidenced
+    by the condition-number-ratio study ported from
+    MatrixUtilsTests.scala:384-404 (tests/test_round3.py
+    ``TestRuizVariants``), not asserted.
+    """
+    n = H.shape[-1]
+
+    def scaled(d):
+        return (d[:, None] * d[None, :]) * H
+
+    # one l-infinity round
+    f = jnp.sqrt(jnp.max(jnp.abs(H), axis=1))
+    d = jnp.where(f > 0, 1.0 / jnp.where(f > 0, f, 1.0), 1.0)
+
+    # fixed l2 rounds (no convergence test, as in the reference)
+    def body(_, d):
+        row_norms = jnp.linalg.norm(scaled(d), axis=1)
+        u = jnp.sqrt(row_norms)
+        return d * jnp.where(u > 0, 1.0 / jnp.where(u > 0, u, 1.0), 1.0)
+
+    d = jax.lax.fori_loop(0, l2_rounds, body, d)
+    return d, scaled(d)
+
+
 def apply_equilibration(d: jax.Array, b: jax.Array) -> jax.Array:
     """Scale a right-hand side (or unscale a solution): ``d * b``."""
     return d * b

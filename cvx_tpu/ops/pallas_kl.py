@@ -201,7 +201,9 @@ def _kl_fused_kernel(hs_ref, u_ref, a_ref, b_ref, x0_ref, x_ref, *,
         # margins drop below this dtype's resolution; 0 * NaN = NaN
         return jnp.where(s_best > 0, x + s_best * dx, x)
 
-    x = lax.fori_loop(0, n_outer * n_inner, step, x)
+    # int32 loop bounds: with jax_enable_x64 the Python ints would trace
+    # as i64 counters, which Mosaic fails to legalize on TPU
+    x = lax.fori_loop(jnp.int32(0), jnp.int32(n_outer * n_inner), step, x)
     x_ref[...] = x * valid
 
 
@@ -245,6 +247,25 @@ def kl_barrier_fused(
             f"and exactly p = 1 equality row (got p={p}); use "
             "DistKL.solve(method='fused') which falls back to the "
             "structured XLA path for other shapes")
+    # trace the f32 (TPU) path in x32: under jax_enable_x64 weak Python
+    # ints become i64 scalars, which Mosaic fails to legalize; f64 inputs
+    # (CPU interpret tests) keep x64 tracing (see ops/pallas_kl_dual.py)
+    if Hs.dtype == jnp.float32:
+        with jax.enable_x64(False):
+            return _kl_barrier_fused_x32(
+                Hs, u, A, b, x0, t0=t0, mu=mu, n_outer=n_outer,
+                n_inner=n_inner, alpha=alpha, beta=beta, n_ls=n_ls, bt=bt,
+                interpret=interpret)
+    return _kl_barrier_fused_x32(
+        Hs, u, A, b, x0, t0=t0, mu=mu, n_outer=n_outer,
+        n_inner=n_inner, alpha=alpha, beta=beta, n_ls=n_ls, bt=bt,
+        interpret=interpret)
+
+
+def _kl_barrier_fused_x32(Hs, u, A, b, x0, *, t0, mu, n_outer, n_inner,
+                          alpha, beta, n_ls, bt, interpret):
+    B, k, n = Hs.shape
+    p = A.shape[1]
     dtype = Hs.dtype
     lane = 128 if not interpret else 8
     npad = _round_up(n, lane)

@@ -8,8 +8,8 @@ solve inside one ``pallas_call``: each grid program holds a (bt, n) tile of
 instances in VMEM and iterates
 
     y      = exp(-(B'z)) / (n e)                       (bt, n)
-    grad   = w - B y                                   3 x (bt, 1)
-    hess   = B diag(y) B'    (closed-form 3x3 solve)   6 x (bt, 1)
+    grad   = w - B y                                   dim x (bt, 1)
+    hess   = B diag(y) B'  (unrolled scalar Cholesky)  dim(dim+1)/2 x (bt,1)
     dz     = -Hf^-1 gf       (bound-active coords frozen)
     line search over halvings of the fraction-to-boundary step (one exp
     + cheap sqrts), value acceptance with a guarded exact quadratic-model
@@ -23,15 +23,17 @@ driver-captured number of record, see README "Measured headline"):
 certificate gap max 3.6e-6 — vs ~25 ms for the XLA dual_fast route and
 66 ms for the fused primal barrier kernel.
 
-Shapes: k <= 2 scenario rows + the sum-to-one equality (dual dim k+1 <= 3),
-the flagship Dist_KL family.  Mosaic notes (same as ops/pallas_kl.py): all
-quantities are (bt, n) rows or (bt, 1) scalars — tiny-dimension tensors
-((bt, 3, 3) Newton systems) would be scalarized ~1000x, so the 3x3 algebra
-is unrolled into scalar registers.
+Shapes: B = [H; 1'; A] with k inequality rows, the sum-to-one equality and
+mE extra equality rows; dual dim = k + 1 + mE <= 5 (the closed-form 2x2/3x3
+adjugate handles dim <= 3; an unrolled scalar Cholesky handles 4-5).
+Mosaic notes (same as ops/pallas_kl.py): all quantities are (bt, n) rows or
+(bt, 1) scalars — tiny-dimension tensors ((bt, dim, dim) Newton systems)
+would be scalarized ~1000x, so the small-system algebra is unrolled into
+scalar registers.
 
 Reference parity: Dist_KL.scala:59-65 (the dual is the preferred route),
-:114-171 (closed forms); the active-set Newton replaces the reference's
-barrier-on-the-dual with a direct bound-constrained solve.
+:114-171 (closed forms, dim-generic); the active-set Newton replaces the
+reference's barrier-on-the-dual with a direct bound-constrained solve.
 """
 
 from __future__ import annotations
@@ -48,31 +50,102 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
-                    n_valid: int, n_steps: int, z0: float, n_ls: int,
-                    eps: float):
-    Hs = hs_ref[...]                                 # (bt, k, n)
-    u = u_ref[...]                                   # (bt, k)
-    dtype = Hs.dtype
-    bt = Hs.shape[0]
+def _solve_small(m, gf, dim, dtype):
+    """dz = -M^-1 gf for the scalar-register Newton system.
 
-    rows = [Hs[:, j, :] for j in range(k)]           # k x (bt, n)
-    ws = [u[:, j:j + 1] for j in range(k)] + \
-        [jnp.ones((bt, 1), dtype)]                   # w = (u, 1)
+    ``m`` maps (i, j), i <= j, to the (bt, 1) entries of the symmetric
+    positive-definite M (frozen coordinates carry a unit diagonal).
+    dim <= 3 uses the measured-fast closed-form adjugate; dim 4-5 an
+    unrolled Cholesky (straight-line code, ~dim^3/3 scalar ops).
+    """
+    if dim == 1:
+        return [-gf[0] / m[(0, 0)]]
+    if dim == 2:
+        det = m[(0, 0)] * m[(1, 1)] - m[(0, 1)] * m[(0, 1)]
+        return [
+            -(m[(1, 1)] * gf[0] - m[(0, 1)] * gf[1]) / det,
+            -(m[(0, 0)] * gf[1] - m[(0, 1)] * gf[0]) / det,
+        ]
+    if dim == 3:
+        c00 = m[(1, 1)] * m[(2, 2)] - m[(1, 2)] * m[(1, 2)]
+        c01 = m[(1, 2)] * m[(0, 2)] - m[(0, 1)] * m[(2, 2)]
+        c02 = m[(0, 1)] * m[(1, 2)] - m[(1, 1)] * m[(0, 2)]
+        det = m[(0, 0)] * c00 + m[(0, 1)] * c01 + m[(0, 2)] * c02
+        return [
+            -(c00 * gf[0] + c01 * gf[1] + c02 * gf[2]) / det,
+            -(c01 * gf[0] + (m[(0, 0)] * m[(2, 2)]
+                             - m[(0, 2)] * m[(0, 2)]) * gf[1]
+              + (m[(0, 1)] * m[(0, 2)]
+                 - m[(0, 0)] * m[(1, 2)]) * gf[2]) / det,
+            -(c02 * gf[0] + (m[(0, 1)] * m[(0, 2)]
+                             - m[(0, 0)] * m[(1, 2)]) * gf[1]
+              + (m[(0, 0)] * m[(1, 1)]
+                 - m[(0, 1)] * m[(0, 1)]) * gf[2]) / det,
+        ]
+    # dim 4-5: unrolled Cholesky M = L L', forward+back substitution.
+    # max(.., tiny) keeps batch-padded instances (all-zero rows) finite —
+    # their garbage steps reject on value and never leave the pad lanes.
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    L = {}
+    for j in range(dim):
+        d = m[(j, j)]
+        for p in range(j):
+            d = d - L[(j, p)] * L[(j, p)]
+        L[(j, j)] = jnp.sqrt(jnp.maximum(d, tiny))
+        for i in range(j + 1, dim):
+            off = m[(j, i)]
+            for p in range(j):
+                off = off - L[(i, p)] * L[(j, p)]
+            L[(i, j)] = off / L[(j, j)]
+    yv = []
+    for i in range(dim):
+        s = -gf[i]
+        for p in range(i):
+            s = s - L[(i, p)] * yv[p]
+        yv.append(s / L[(i, i)])
+    dz = [None] * dim
+    for i in range(dim - 1, -1, -1):
+        s = yv[i]
+        for p in range(i + 1, dim):
+            s = s - L[(p, i)] * dz[p]
+        dz[i] = s / L[(i, i)]
+    return dz
+
+
+def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
+                    m_eq: int, n_valid: int, n_steps: int, z0: float,
+                    n_ls: int, eps: float):
+    bs = hs_ref[...]                                 # (bt, k + m_eq, n)
+    wu = u_ref[...]                                  # (bt, k + m_eq)
+    dtype = bs.dtype
+    bt = bs.shape[0]
+    dim = k + 1 + m_eq
+
+    # B = [H; 1'; A] row layout; w = (u, 1, r)
+    def hrow(i):
+        if i < k:
+            return bs[:, i, :]
+        if i == k:
+            return jnp.ones((bt, 1), dtype)          # broadcasting row of 1s
+        return bs[:, i - 1, :]
+
+    ws = ([wu[:, j:j + 1] for j in range(k)]
+          + [jnp.ones((bt, 1), dtype)]
+          + [wu[:, k + j:k + j + 1] for j in range(m_eq)])
     valid = (lax.broadcasted_iota(jnp.int32, (1, n), 1) < n_valid
              ).astype(dtype)                         # (1, n)
     nv = jnp.asarray(float(n_valid), dtype)
     log_nv = jnp.log(nv)
-    dim = k + 1
 
     def rsum(a):
         return jnp.sum(a * valid, axis=1, keepdims=True)     # (bt, 1)
 
     def btz_of(z):
-        # B'z with B = [H; 1']: (bt, n)
+        # B'z: (bt, n); the ones-row contributes a broadcast scalar
         out = z[k] * jnp.ones((bt, 1), dtype)
-        for j in range(k):
-            out = out + z[j] * rows[j]
+        for j in range(dim):
+            if j != k:
+                out = out + z[j] * hrow(j)
         return out
 
     def y_of(z):
@@ -86,18 +159,25 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
         return v                                             # (bt, 1)
 
     def grad_of(z, y):
-        g = [ws[j] - rsum(rows[j] * y) for j in range(k)]
-        g.append(ws[k] - rsum(y))
+        g = []
+        for j in range(dim):
+            if j == k:
+                g.append(ws[j] - rsum(y))
+            else:
+                g.append(ws[j] - rsum(hrow(j) * y))
         return g                                             # dim x (bt, 1)
 
     def pgnorm(z, g):
         # projected-gradient norm^2: lam coords at 0 wanting to decrease
         # are optimal, drop them
-        s = g[k] * g[k]
-        for j in range(k):
-            at_b = jnp.logical_and(z[j] <= 0.0, g[j] > 0.0)
-            gj = jnp.where(at_b, 0.0, g[j])
-            s = s + gj * gj
+        s = jnp.zeros((bt, 1), dtype)
+        for j in range(dim):
+            if j < k:
+                at_b = jnp.logical_and(z[j] <= 0.0, g[j] > 0.0)
+                gj = jnp.where(at_b, 0.0, g[j])
+                s = s + gj * gj
+            else:
+                s = s + g[j] * g[j]
         return s                                             # (bt, 1)
 
     def project(z):
@@ -123,42 +203,24 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
             gf.append(g[j] * fr)
 
         # Hessian entries m_ij = sum y B_i B_j, masked + unit diagonal
-        def hrow(i):
-            return rows[i] if i < k else jnp.ones((bt, 1), dtype)
-
         m = {}
         for i in range(dim):
             for j in range(i, dim):
-                mij = rsum(y * hrow(i) * hrow(j))
+                if i == k and j == k:
+                    mij = rsum(y)
+                elif i == k:
+                    mij = rsum(y * hrow(j))
+                elif j == k:
+                    mij = rsum(y * hrow(i))
+                else:
+                    mij = rsum(y * hrow(i) * hrow(j))
                 mij = mij * frees[i] * frees[j]
                 if i == j:
                     mij = mij + (1.0 - frees[i])
                     mij = mij * (1.0 + 10.0 * eps)
                 m[(i, j)] = mij
 
-        # closed-form solve dz = -M^-1 gf (unrolled adjugate)
-        if dim == 3:
-            c00 = m[(1, 1)] * m[(2, 2)] - m[(1, 2)] * m[(1, 2)]
-            c01 = m[(1, 2)] * m[(0, 2)] - m[(0, 1)] * m[(2, 2)]
-            c02 = m[(0, 1)] * m[(1, 2)] - m[(1, 1)] * m[(0, 2)]
-            det = m[(0, 0)] * c00 + m[(0, 1)] * c01 + m[(0, 2)] * c02
-            dz = [
-                -(c00 * gf[0] + c01 * gf[1] + c02 * gf[2]) / det,
-                -(c01 * gf[0] + (m[(0, 0)] * m[(2, 2)]
-                                 - m[(0, 2)] * m[(0, 2)]) * gf[1]
-                  + (m[(0, 1)] * m[(0, 2)]
-                     - m[(0, 0)] * m[(1, 2)]) * gf[2]) / det,
-                -(c02 * gf[0] + (m[(0, 1)] * m[(0, 2)]
-                                 - m[(0, 0)] * m[(1, 2)]) * gf[1]
-                  + (m[(0, 0)] * m[(1, 1)]
-                     - m[(0, 1)] * m[(0, 1)]) * gf[2]) / det,
-            ]
-        else:  # dim == 2
-            det = m[(0, 0)] * m[(1, 1)] - m[(0, 1)] * m[(0, 1)]
-            dz = [
-                -(m[(1, 1)] * gf[0] - m[(0, 1)] * gf[1]) / det,
-                -(m[(0, 0)] * gf[1] - m[(0, 1)] * gf[0]) / det,
-            ]
+        dz = _solve_small(m, gf, dim, dtype)
 
         # a lam ALREADY at its bound cannot move down: zero that component
         # of the direction (otherwise t_bd = 0 freezes the whole step; the
@@ -187,8 +249,9 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
         #   reduction (ft = sum(yt) + w.zt); the kernel is
         #   reduction/transcendental-bound, so this is the hot spot.
         wdir = dz[k] * jnp.ones((bt, 1), dtype)
-        for j in range(k):
-            wdir = wdir + dz[j] * rows[j]
+        for j in range(dim):
+            if j != k:
+                wdir = wdir + dz[j] * hrow(j)
         # clip the exponent: an overflowed inf would survive every sqrt and
         # kill the deep-backtracking candidates; the clipped (huge, finite)
         # factor still makes oversized steps reject on value
@@ -255,7 +318,9 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
         return tuple(z_new)
 
     z0s = tuple(jnp.full((bt, 1), z0, dtype) for _ in range(dim))
-    z = list(lax.fori_loop(0, n_steps, step, z0s))
+    # int32 loop bounds: with jax_enable_x64 the Python ints would trace
+    # as i64 counters, which Mosaic fails to legalize on TPU
+    z = list(lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step, z0s))
 
     y = y_of(z)
     sy = rsum(y)
@@ -271,8 +336,10 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
     jax.jit,
     static_argnames=("n_steps", "z0", "n_ls", "bt", "interpret"))
 def kl_dual_fused(
-    Hs: jax.Array,   # (B, k, n) scenario rows
+    Hs: jax.Array,   # (B, k, n) scenario inequality rows
     u: jax.Array,    # (B, k)
+    A: jax.Array | None = None,   # (B, m_eq, n) extra equality rows
+    r: jax.Array | None = None,   # (B, m_eq)
     *,
     n_steps: int = 16,
     z0: float = 1e-3,
@@ -285,35 +352,67 @@ def kl_dual_fused(
     Returns ``(x, gap)``: the recovered primal distributions (B, n) and the
     MEASURED per-instance duality-gap certificate f(x) - g(z) (valid upper
     bound on suboptimality for the dual-feasible z the kernel ends at).
-    Constraint set: Hs x <= u (k <= 2 rows) + sum-to-one; use
-    DistKL.solve(method='dual_fast') for other shapes.
+    Constraint set: Hs x <= u (k >= 0 rows), sum-to-one, and A x = r
+    (m_eq >= 0 extra equality rows); dual dim = k + 1 + m_eq <= 5.  Use
+    DistKL.solve(method='dual_fast') for larger shapes.
     """
     B, k, n = Hs.shape
-    if not (1 <= k <= 2):
-        raise ValueError(f"kl_dual_fused supports 1 <= k <= 2 rows, got {k}")
+    if A is None:
+        A = jnp.zeros((B, 0, n), Hs.dtype)
+        r = jnp.zeros((B, 0), Hs.dtype)
+    m_eq = A.shape[1]
+    dim = k + 1 + m_eq
+    if not (k + m_eq >= 1 and dim <= 5):
+        raise ValueError(
+            f"kl_dual_fused supports 1 <= k + m_eq and k + 1 + m_eq <= 5, "
+            f"got k={k}, m_eq={m_eq}")
+    # trace the f32 (TPU) path in x32: under jax_enable_x64 (the certified
+    # finishing pass enables it) weak Python ints become i64 scalars, which
+    # Mosaic fails to legalize ("failed to legalize operation
+    # 'func.return'").  f64 inputs (CPU interpret tests) keep x64 tracing —
+    # x32 mode would silently downcast their constants.
+    if Hs.dtype == jnp.float32:
+        with jax.enable_x64(False):
+            return _kl_dual_fused_x32(Hs, u, A, r, n_steps=n_steps, z0=z0,
+                                      n_ls=n_ls, bt=bt, interpret=interpret)
+    return _kl_dual_fused_x32(Hs, u, A, r, n_steps=n_steps, z0=z0,
+                              n_ls=n_ls, bt=bt, interpret=interpret)
+
+
+def _kl_dual_fused_x32(Hs, u, A, r, *, n_steps, z0, n_ls, bt, interpret):
+    B, k, n = Hs.shape
+    m_eq = A.shape[1]
     dtype = Hs.dtype
     lane = 128 if not interpret else 8
     npad = _round_up(n, lane)
     bpad = _round_up(B, bt)
 
-    Hs_p = jnp.zeros((bpad, k, npad), dtype).at[:B, :, :n].set(Hs)
-    u_p = jnp.ones((bpad, k), dtype).at[:B].set(u)  # pad: benign u=1
+    # one stacked (B, k + m_eq, n) row tensor and (B, k + m_eq) rhs keep the
+    # kernel signature fixed.  Batch padding: inequality rows 0 with u = 1
+    # (inactive); equality rows 0 with r = 0 (zero gradient, inert).
+    rows = jnp.concatenate([Hs, A], axis=1)
+    rhs_pad = jnp.concatenate([jnp.ones((bpad, k), dtype),
+                               jnp.zeros((bpad, m_eq), dtype)], axis=1)
+    rows_p = jnp.zeros((bpad, k + m_eq, npad), dtype).at[:B, :, :n].set(rows)
+    rhs_p = rhs_pad.at[:B, :k].set(u)
+    if m_eq > 0:
+        rhs_p = rhs_p.at[:B, k:].set(r)
 
     grid = (bpad // bt,)
     kern = functools.partial(
-        _kl_dual_kernel, n=npad, k=k, n_valid=n, n_steps=n_steps, z0=z0,
-        n_ls=n_ls, eps=float(jnp.finfo(dtype).eps))
+        _kl_dual_kernel, n=npad, k=k, m_eq=m_eq, n_valid=n, n_steps=n_steps,
+        z0=z0, n_ls=n_ls, eps=float(jnp.finfo(dtype).eps))
     x, gap = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((bpad, npad), dtype),
                    jax.ShapeDtypeStruct((bpad, 1), dtype)),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bt, k, npad), lambda i: (i, 0, 0)),
-            pl.BlockSpec((bt, k), lambda i: (i, 0)),
+            pl.BlockSpec((bt, k + m_eq, npad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, k + m_eq), lambda i: (i, 0)),
         ],
         out_specs=(pl.BlockSpec((bt, npad), lambda i: (i, 0)),
                    pl.BlockSpec((bt, 1), lambda i: (i, 0))),
         interpret=interpret,
-    )(Hs_p, u_p)
+    )(rows_p, rhs_p)
     return x[:B, :n], gap[:B, 0]

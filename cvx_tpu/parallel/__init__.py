@@ -4,7 +4,9 @@ consensus for block-separable programs.  The reference has no parallelism at
 all; this layer is new capability mandated by the north star."""
 
 from .batch import shard_solve, vmap_solve
-from .constraint_shard import barrier_solve_msharded
+from .constraint_shard import (barrier_solve_msharded,
+                               barrier_solve_msharded_cnts,
+                               primal_dual_solve_msharded)
 from .mesh import (block_mesh, init_distributed, instance_mesh,
                    shard_batch)
 from .schur import (SeparableProblem, make_sharded_schur_solver,
@@ -14,6 +16,7 @@ from .tp_chol import (make_sharded_cholesky, make_sharded_chol_solve,
 
 __all__ = [
     "shard_solve", "vmap_solve", "barrier_solve_msharded",
+    "barrier_solve_msharded_cnts", "primal_dual_solve_msharded",
     "block_mesh", "init_distributed", "instance_mesh",
     "shard_batch", "SeparableProblem", "make_sharded_schur_solver",
     "schur_kkt_solve", "separable_barrier_solve",

@@ -22,6 +22,21 @@ The whole continuation runs inside ONE ``shard_map``-ped jitted program;
 the only collectives are the psums above (ring-reduce over ICI).  This is
 the m-sharded counterpart of solvers/barrier.py, which it matches exactly
 (sharded == local, tests/test_constraint_shard.py).
+
+Three entry points:
+
+  * ``barrier_solve_msharded``       — raw linear rows (G, c, ub), margins
+                                       updated incrementally (linear fast
+                                       path);
+  * ``barrier_solve_msharded_cnts``  — GENERIC ConstraintSet (linear +
+                                       quadratic blocks), every block row-
+                                       sharded;
+  * ``primal_dual_solve_msharded``   — the PD half: the reduced-Hessian
+                                       reduction sum_i [lam_i hess g_i -
+                                       (grad g_i)(grad g_i)' lam_i / f_i]
+                                       (PrimalDualSolver.scala:216-240)
+                                       psum'd over the constraint axis with
+                                       lambda sharded alongside the rows.
 """
 
 from __future__ import annotations
@@ -215,4 +230,371 @@ def barrier_solve_msharded(
         newton_decrement=nan, duality_gap=gap, eq_gap=eq_gap,
         norm_grad=nan, norm_dual_residual=nan, iters=iters,
         maxed_out=maxed, stalled=stalled,
+    )
+
+
+def _check_shardable(cnts, n_dev: int):
+    """Every block's rows must divide over the mesh axis; Nonlinear blocks
+    (one traced callable returning ALL m values) cannot row-shard."""
+    from ..problem.constraints import NonlinearBlock
+
+    for b in cnts.blocks:
+        if isinstance(b, NonlinearBlock):
+            raise ValueError(
+                "m-sharding needs array-backed blocks (Linear/Quad); a "
+                "NonlinearBlock's callable produces all rows at once")
+        if b.m % n_dev != 0:
+            raise ValueError(
+                f"block with m={b.m} rows not divisible by mesh axis size "
+                f"{n_dev}")
+    if jax.tree_util.tree_leaves(cnts.domain):
+        raise ValueError(
+            "m-sharding expects a parameter-free domain (whole_space): "
+            "domain arrays have no constraint axis to shard")
+
+
+def _cnts_specs(cnts, axis: str):
+    """PartitionSpec pytree sharding every block array on its leading
+    (constraint) axis.  All Linear/Quad block leaves carry m first."""
+    return jax.tree_util.tree_map(lambda _: P(axis), cnts)
+
+
+@mxu_exact
+def barrier_solve_msharded_cnts(
+    obj: Any,
+    cnts,
+    x0: jax.Array,
+    pars: SolverParams | None = None,
+    eqs=None,
+    *,
+    mesh: Mesh,
+    axis: str = "m",
+    t0: float = 1.0,
+) -> Solution:
+    """Constraint-axis sharded barrier for a GENERIC ``ConstraintSet``
+    (linear and quadratic blocks), SURVEY.md section 5.7(a) lifted beyond raw
+    linear rows: each device holds a row shard of every block; the barrier
+    value/gradient/Hessian reductions over constraints
+    (BarrierSolver.scala:303-315) are psum'd, the replicated KKT system is
+    solved identically everywhere, and the line search re-evaluates the
+    LOCAL margins per candidate (quadratic rows are not linear in the step,
+    so no incremental G dx shortcut).
+
+    ``x0`` must be strictly feasible and replicated; every block's row count
+    must divide the mesh axis size.  Returns ``lam`` sharded like the rows.
+    """
+    pars = pars or SolverParams()
+    n_dev = mesh.shape[axis]
+    _check_shardable(cnts, n_dev)
+    m = cnts.m
+    dtype = x0.dtype
+    has_eqs = eqs is not None
+    p = eqs.p if has_eqs else 0
+    eps = jnp.finfo(dtype).eps
+    tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 50.0 * eps)
+    eq_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 100.0 * eps)
+    t_max = 10.0 * pars.mu * m / pars.tol
+    n_ls = pars.ls_max_steps
+    kk = jnp.arange(n_ls)
+    expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(dtype)
+    ls_ts = jnp.asarray(pars.beta, dtype) ** expo
+    hard_stall_gap = jnp.sqrt(tol)
+
+    if has_eqs:
+        A_, b_ = eqs.A, eqs.b
+    else:
+        A_ = jnp.zeros((0, x0.shape[0]), dtype)
+        b_ = jnp.zeros((0,), dtype)
+
+    def local(cl, x0):
+        """``cl`` is the LOCAL row shard of the ConstraintSet."""
+
+        def fgh(t, x):
+            d = cl.margins(x)
+            inv_d = 1.0 / d
+            G = cl.jac(x)
+            val = t * obj.value(x) - lax.psum(jnp.sum(jnp.log(d)), axis)
+            grad = t * obj.grad(x) + lax.psum(G.T @ inv_d, axis)
+            hess = t * obj.hess(x) + lax.psum(
+                jnp.einsum("mi,m,mj->ij", G, inv_d * inv_d, G)
+                + cl.whess(x, inv_d), axis)
+            return val, grad, hess
+
+        def newton_step(t, x):
+            val, g, H = fgh(t, x)
+            if has_eqs:
+                dx, _, _ = kkt_solve(H, A_, g, b_ - A_ @ x,
+                                     method=pars.kkt_method,
+                                     refine=pars.kkt_refine,
+                                     delta=pars.chol_delta,
+                                     tol=pars.tol_eq_solve)
+            else:
+                dx, _ = sym_solve(H, -g, method=pars.kkt_method,
+                                  refine=pars.kkt_refine,
+                                  delta=pars.chol_delta,
+                                  tol=pars.tol_eq_solve)
+            q = dx @ g
+            dec = -q / 2.0
+
+            # line search: per-candidate LOCAL margins (generic blocks),
+            # one (n_ls,) psum for the log sums + one for feasibility
+            ds = jax.vmap(lambda s: cl.margins(x + s * dx))(ls_ts)
+            ok_loc = jnp.all(ds > 0, axis=1)
+            bad = lax.psum((~ok_loc).astype(dtype), axis)
+            ok = bad == 0
+            logs_loc = jnp.sum(jnp.log(jnp.where(ds > 0, ds, 1.0)), axis=1)
+            logs = lax.psum(logs_loc, axis)
+            fs = jax.vmap(lambda s: t * obj.value(x + s * dx))(ls_ts) - logs
+            fs = jnp.where(ok, fs, jnp.inf)
+            armijo = fs <= val + pars.alpha * ls_ts * q
+            acc = jnp.logical_and(ok, armijo)
+            any_acc = jnp.any(acc)
+            s = jnp.where(any_acc, ls_ts[jnp.argmax(acc)], 0.0)
+            take = jnp.logical_and(jnp.logical_and(dec > tol, any_acc),
+                                   jnp.all(jnp.isfinite(dx)))
+            x_new = jnp.where(take, x + s * dx, x)
+            stalled = jnp.logical_and(dec > tol, jnp.logical_not(take))
+            return x_new, dec, stalled
+
+        def inner(t, x):
+            def cond(carry):
+                x, dec, it, stalled, _ = carry
+                go = jnp.logical_and(dec > tol, it < pars.max_iter)
+                return jnp.logical_and(go, jnp.logical_not(stalled))
+
+            def body(carry):
+                x, _, it, _, hard = carry
+                x, dec, stalled = newton_step(t, x)
+                hard = jnp.logical_or(
+                    hard, jnp.logical_and(stalled, m / t > hard_stall_gap))
+                return x, dec, it + 1, stalled, hard
+
+            big = jnp.asarray(jnp.inf, dtype)
+            x, dec, it, _, hard = lax.while_loop(
+                cond, body, (x, big, jnp.asarray(0), jnp.asarray(False),
+                             jnp.asarray(False)))
+            return x, it, hard
+
+        def outer_cond(carry):
+            x, t, it, n_newton, hard, t_active = carry
+            gap = m / (t / pars.mu)
+            eq_ok = (jnp.linalg.norm(b_ - A_ @ x) < eq_tol if has_eqs
+                     else jnp.asarray(True))
+            go = jnp.logical_not(jnp.logical_and(gap < pars.tol, eq_ok))
+            go = jnp.logical_and(go, it < pars.outer_max_iter)
+            return jnp.logical_and(go, t <= t_max)
+
+        def outer_body(carry):
+            x, t, it, n_newton, hard, t_active = carry
+            x_new, inner_it, hard_i = inner(t, x)
+            moved = jnp.any(x_new != x)
+            t_active = jnp.where(moved, t, t_active)
+            return (x_new, pars.mu * t, it + 1, n_newton + inner_it,
+                    jnp.logical_or(hard, hard_i), t_active)
+
+        x, t, outer_it, n_newton, hard, t_active = lax.while_loop(
+            outer_cond, outer_body,
+            (x0, jnp.asarray(t0, dtype), jnp.asarray(0), jnp.asarray(0),
+             jnp.asarray(False), jnp.asarray(t0, dtype)))
+
+        t_solved = t / pars.mu
+        d_exit = cl.margins(x)
+        lam = 1.0 / (t_active * d_exit)
+        bad_exit = lax.psum(
+            jnp.logical_not(jnp.logical_and(
+                jnp.all(jnp.isfinite(d_exit)),
+                jnp.all(d_exit > -100.0 * eps * (1.0 + jnp.abs(cl.ub)))
+            )).astype(dtype), axis)
+        healthy = jnp.logical_and(jnp.all(jnp.isfinite(x)), bad_exit == 0)
+        gap = jnp.where(healthy, m / t_solved, jnp.asarray(jnp.nan, dtype))
+        eq_gap = (jnp.linalg.norm(b_ - A_ @ x) if has_eqs
+                  else jnp.asarray(0.0, dtype))
+        stalled = jnp.logical_or(hard, jnp.logical_not(healthy))
+        maxed = outer_it >= pars.outer_max_iter
+        return x, lam, gap, eq_gap, n_newton, maxed, stalled
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(_cnts_specs(cnts, axis), P()),
+        out_specs=(P(), P(axis), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    x, lam, gap, eq_gap, iters, maxed, stalled = jax.jit(sharded)(cnts, x0)
+    nan = jnp.asarray(jnp.nan, dtype)
+    return Solution(
+        x=x, lam=lam, nu=jnp.full((p,), jnp.nan, dtype),
+        newton_decrement=nan, duality_gap=gap, eq_gap=eq_gap,
+        norm_grad=nan, norm_dual_residual=nan, iters=iters,
+        maxed_out=maxed, stalled=stalled,
+    )
+
+
+@mxu_exact
+def primal_dual_solve_msharded(
+    obj: Any,
+    cnts,
+    x0: jax.Array,
+    pars: SolverParams | None = None,
+    eqs=None,
+    *,
+    mesh: Mesh,
+    axis: str = "m",
+) -> Solution:
+    """Constraint-axis sharded infeasible-start primal-dual IPM — the PD
+    half of SURVEY.md section 5.7(a) (round-2 verdict missing item 2).
+
+    The reduced-Hessian reduction over constraints
+    H_pd = hess f + sum_i [lam_i hess g_i - (grad g_i grad g_i') lam_i/f_i]
+    (PrimalDualSolver.scala:216-240) is sharded exactly like the barrier's:
+    each device holds a row shard of every block AND the matching shard of
+    lambda; per iteration it psums the (n, n) partial Hessian, the (n,)
+    dual-residual and rhs contributions, the surrogate gap -f.lam, the
+    line-search feasibility mask and the residual-norm decrease test.  The
+    replicated KKT system is solved identically on every device.
+
+    Matches ``solvers.primal_dual.primal_dual_solve`` exactly on the same
+    problem (sharded == local, tests/test_constraint_shard.py).
+    """
+    pars = pars or SolverParams()
+    n_dev = mesh.shape[axis]
+    _check_shardable(cnts, n_dev)
+    m = cnts.m
+    dtype = x0.dtype
+    nan = jnp.asarray(jnp.nan, dtype)
+    has_eqs = eqs is not None
+    p = eqs.p if has_eqs else 0
+    ls_max = int(-30.0 / jnp.log(pars.beta)) + 1
+    eps = jnp.finfo(dtype).eps
+    gap_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 50.0 * eps)
+    res_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 1e3 * eps)
+
+    if has_eqs:
+        A_, b_ = eqs.A, eqs.b
+    else:
+        A_ = jnp.zeros((0, x0.shape[0]), dtype)
+        b_ = jnp.zeros((0,), dtype)
+
+    def local(cl, x0):
+        def res_norm2_parts(t, x, lam, nu):
+            """||r_t||^2 = ||r_dual||^2 + psum||r_cent_loc||^2 + ||r_pri||^2."""
+            f = cl.residual(x)
+            G = cl.jac(x)
+            r_dual = obj.grad(x) + lax.psum(G.T @ lam, axis)
+            if has_eqs:
+                r_dual = r_dual + A_.T @ nu
+            r_cent = -lam * f - 1.0 / t
+            n2 = (jnp.sum(r_dual * r_dual)
+                  + lax.psum(jnp.sum(r_cent * r_cent), axis))
+            if has_eqs:
+                r_pri = A_ @ x - b_
+                n2 = n2 + jnp.sum(r_pri * r_pri)
+            return n2
+
+        def surrogate_gap(x, lam):
+            return -lax.psum(cl.residual(x) @ lam, axis)
+
+        def body(carry):
+            x, lam, nu, _, _, _, it, _ = carry
+            eta = surrogate_gap(x, lam)
+            t = pars.mu * m / eta
+
+            f = cl.residual(x)
+            G = cl.jac(x)
+            inv_f = 1.0 / f
+            H_pd = obj.hess(x) + lax.psum(
+                cl.whess(x, lam)
+                + jnp.einsum("mi,m,mj->ij", G, -lam * inv_f, G), axis)
+            rhs_top = -obj.grad(x) + (1.0 / t) * lax.psum(G.T @ inv_f, axis)
+            if has_eqs:
+                rhs_top = rhs_top - A_.T @ nu
+                r_pri = A_ @ x - b_
+                dx, dnu, _ = kkt_solve(H_pd, A_, -rhs_top, -r_pri,
+                                       method=pars.kkt_method,
+                                       refine=pars.kkt_refine,
+                                       delta=pars.chol_delta,
+                                       tol=pars.tol_eq_solve)
+            else:
+                dx, _ = sym_solve(H_pd, rhs_top, method=pars.kkt_method,
+                                  refine=pars.kkt_refine,
+                                  delta=pars.chol_delta,
+                                  tol=pars.tol_eq_solve)
+                dnu = jnp.zeros((0,), dtype)
+
+            r_cent = -lam * f - 1.0 / t
+            w = G @ dx
+            dlam = (-lam * w + r_cent) * inv_f
+
+            ratios = jnp.where(dlam < 0, -lam / dlam, jnp.inf)
+            s_loc = jnp.min(ratios)
+            s0 = pars.pd_step_frac * jnp.minimum(
+                1.0, lax.pmin(s_loc, axis))
+            norm2_rt = res_norm2_parts(t, x, lam, nu)
+
+            def trial(s):
+                xs = x + s * dx
+                lams = lam + s * dlam
+                nus = nu + s * dnu
+                feas_loc = jnp.all(cl.margins(xs) > 0.0)
+                n2 = res_norm2_parts(t, xs, lams, nus)
+                return feas_loc, n2
+
+            _kk = jnp.arange(ls_max)
+            _expo = jnp.where(_kk < 32, _kk,
+                              32 + 3 * (_kk - 32)).astype(dtype)
+            ss = s0 * pars.beta ** _expo
+            feas_loc, n2s = jax.vmap(trial)(ss)
+            feas = lax.psum((~feas_loc).astype(dtype), axis) == 0
+            dec = jnp.sqrt(n2s) <= (1.0 - pars.alpha * ss) * \
+                jnp.sqrt(norm2_rt)
+            accepts = jnp.logical_and(feas, dec)
+            ok = jnp.logical_and(
+                jnp.any(accepts),
+                jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(dlam)))
+            stalled = jnp.logical_not(ok)
+            s = jnp.where(ok, ss[jnp.argmax(accepts)], 0.0)
+
+            x_n = jnp.where(ok, x + s * dx, x)
+            lam_n = jnp.where(ok, lam + s * dlam, lam)
+            nu_n = jnp.where(ok, nu + s * dnu, nu)
+
+            gap = surrogate_gap(x_n, lam_n)
+            Gn = cl.jac(x_n)
+            r_dual = obj.grad(x_n) + lax.psum(Gn.T @ lam_n, axis)
+            if has_eqs:
+                r_dual = r_dual + A_.T @ nu_n
+                eq_gap = jnp.linalg.norm(A_ @ x_n - b_)
+            else:
+                eq_gap = jnp.asarray(0.0, dtype)
+            return (x_n, lam_n, nu_n, gap, jnp.linalg.norm(r_dual),
+                    eq_gap, it + 1, stalled)
+
+        def cond(carry):
+            x, lam, nu, gap, ndr, eq_gap, it, stalled = carry
+            ok = jnp.logical_and(gap < gap_tol, ndr < res_tol)
+            if has_eqs:
+                ok = jnp.logical_and(ok, eq_gap < jnp.sqrt(gap_tol))
+            go = jnp.logical_not(ok)
+            go = jnp.logical_and(go, it < 2 * pars.outer_max_iter)
+            return jnp.logical_and(go, jnp.logical_not(stalled))
+
+        lam0 = cl.lambda_init(x0)      # local shard
+        nu0 = jnp.zeros((p,), dtype)
+        inf = jnp.asarray(jnp.inf, dtype)
+        init = (x0, lam0, nu0, surrogate_gap(x0, lam0), inf, inf,
+                jnp.asarray(0), jnp.asarray(False))
+        x, lam, nu, gap, ndr, eq_gap, it, stalled = lax.while_loop(
+            cond, body, init)
+        return x, lam, nu, gap, ndr, eq_gap, it, stalled
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(_cnts_specs(cnts, axis), P()),
+        out_specs=(P(), P(axis), P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    x, lam, nu, gap, ndr, eq_gap, it, stalled = jax.jit(sharded)(cnts, x0)
+    return Solution(
+        x=x, lam=lam, nu=nu, newton_decrement=nan, duality_gap=gap,
+        eq_gap=eq_gap, norm_grad=nan, norm_dual_residual=ndr, iters=it,
+        maxed_out=it >= 2 * pars.outer_max_iter, stalled=stalled,
     )

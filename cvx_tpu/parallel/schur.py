@@ -160,20 +160,33 @@ def separable_barrier_solve(
     ``kkt_solver(H, C, q, rhs) -> (dx, w)`` defaults to the single-device
     schur_kkt_solve; pass the result of make_sharded_schur_solver(mesh) to
     run blocks across devices.
+
+    Returns a ``Solution`` (same per-instance-status discipline as every
+    other solver): ``x`` (K, nb), per-block inequality duals ``lam``
+    (K, mb) from the barrier estimate 1/(t d), the coupling-equality duals
+    ``nu`` (p,), and REAL failure flags — ``stalled`` is per-BLOCK: a
+    poisoned block (non-finite iterate or violated margins) is flagged
+    individually, and a line-search stall while the decrement is still
+    above sqrt(tol) flags every block (the Newton system couples them).
     """
+    from ..solvers.types import Solution
+
     pars = pars or SolverParams()
     solver = kkt_solver or schur_kkt_solve
     m_total = prob.G.shape[0] * prob.G.shape[1]
     dtype = x0.dtype
+    K = prob.K
+    p = prob.c.shape[0]
+    hard_stall_dec = jnp.sqrt(jnp.asarray(pars.tol, dtype))
 
-    def inner_newton(t, x):
+    def inner_newton(t, x, w0):
         def cond(carry):
-            x, dec, eq_err, it = carry
+            x, w, dec, eq_err, it, _ = carry
             go = jnp.logical_or(dec > pars.tol, eq_err > jnp.sqrt(pars.tol))
             return jnp.logical_and(go, it < pars.max_iter)
 
         def body(carry):
-            x, _, _, it = carry
+            x, w_prev, _, _, it, hard = carry
             val, grads, hesss = prob.barrier_pieces(t, x)
             eq_resid = jnp.einsum("kpn,kn->p", prob.C, x) - prob.c
             # Newton: sum_k C_k dx_k must equal -(sum C x - c)
@@ -203,29 +216,74 @@ def separable_barrier_solve(
                                    jnp.all(jnp.isfinite(dx)))
             s = jnp.where(take, ss[jnp.argmax(accepts)], 0.0)
             x_new = jnp.where(take, x + s * dx, x)
+            w_new = jnp.where(take, w, w_prev)
             eq_err = jnp.linalg.norm(
                 jnp.einsum("kpn,kn->p", prob.C, x_new) - prob.c)
+            # a rejected step while the decrement still certifies real
+            # progress-to-go is a REAL stall, not convergence — record it
+            # before exiting via dec = 0 (round-2 weak item 4: the silent
+            # dec = 0 exit hid line-search failures).  A NON-FINITE
+            # decrement (NaN data poisoning the coupled Schur solve) is a
+            # stall too: NaN > thresh is False and would slip through.
+            hard = jnp.logical_or(
+                hard, jnp.logical_and(
+                    jnp.logical_not(take),
+                    jnp.logical_or(dec > hard_stall_dec,
+                                   jnp.logical_not(jnp.isfinite(dec)))))
             dec = jnp.where(s > 0, dec, 0.0)  # stalled -> exit via dec
-            return x_new, dec, eq_err, it + 1
+            return x_new, w_new, dec, eq_err, it + 1, hard
 
         big = jnp.asarray(jnp.inf, dtype)
-        x, dec, eq_err, it = lax.while_loop(
-            cond, body, (x, big, big, jnp.asarray(0)))
-        return x, it
+        x, w, dec, eq_err, it, hard = lax.while_loop(
+            cond, body, (x, w0, big, big, jnp.asarray(0),
+                         jnp.asarray(False)))
+        return x, w, it, hard
 
     def outer_cond(carry):
-        x, t, it, n_newton = carry
+        x, w, t, it, n_newton, hard, t_active = carry
         gap = m_total / t
         return jnp.logical_and(gap * pars.mu > pars.tol,
                                it < pars.outer_max_iter)
 
     def outer_body(carry):
-        x, t, it, n_newton = carry
-        x, inner_it = inner_newton(t, x)
-        return x, pars.mu * t, it + 1, n_newton + inner_it
+        x, w, t, it, n_newton, hard, t_active = carry
+        x_new, w, inner_it, hard_i = inner_newton(t, x, w)
+        moved = jnp.any(x_new != x)
+        t_active = jnp.where(moved, t, t_active)
+        return (x_new, w, pars.mu * t, it + 1, n_newton + inner_it,
+                jnp.logical_or(hard, hard_i), t_active)
 
-    x, t, outer_it, n_newton = lax.while_loop(
+    w0 = jnp.zeros((p,), dtype)
+    one = jnp.asarray(1.0, dtype)
+    x, w, t, outer_it, n_newton, hard, t_active = lax.while_loop(
         outer_cond, outer_body,
-        (x0, jnp.asarray(1.0, dtype), jnp.asarray(0), jnp.asarray(0)))
-    return x, {"outer_iters": outer_it, "newton_iters": n_newton,
-               "gap": m_total / (t / pars.mu)}
+        (x0, w0, one, jnp.asarray(0), jnp.asarray(0), jnp.asarray(False),
+         one))
+
+    t_solved = t / pars.mu
+    margins = prob.u - jnp.einsum("kmn,kn->km", prob.G, x)
+    lam = 1.0 / (t_active * margins)            # (K, mb) per-block duals
+    nu = w / t_active                           # coupling-equality duals
+    eps = jnp.finfo(dtype).eps
+    # per-BLOCK health: a poisoned block is flagged individually — exit
+    # iterate finite, margins non-violated, AND the block's own barrier
+    # gradient finite (catches NaN problem DATA even when the iterate
+    # never moved off a feasible x0)
+    _, exit_grads, _ = prob.barrier_pieces(t_active, x)
+    block_ok = jnp.logical_and(
+        jnp.logical_and(
+            jnp.all(jnp.isfinite(x), axis=1),
+            jnp.all(jnp.isfinite(exit_grads), axis=1)),
+        jnp.all(margins > -100.0 * eps * (1.0 + jnp.abs(prob.u)), axis=1))
+    stalled = jnp.logical_or(jnp.logical_not(block_ok),
+                             jnp.broadcast_to(hard, (K,)))
+    healthy = jnp.all(block_ok)
+    nan = jnp.asarray(jnp.nan, dtype)
+    gap = jnp.where(healthy, m_total / t_solved, nan)
+    eq_gap = jnp.linalg.norm(jnp.einsum("kpn,kn->p", prob.C, x) - prob.c)
+    maxed = jnp.broadcast_to(outer_it >= pars.outer_max_iter, (K,))
+    return Solution(
+        x=x, lam=lam, nu=nu, newton_decrement=nan, duality_gap=gap,
+        eq_gap=eq_gap, norm_grad=nan, norm_dual_residual=nan,
+        iters=n_newton, maxed_out=maxed, stalled=stalled,
+    )

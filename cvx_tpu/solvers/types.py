@@ -81,6 +81,11 @@ class Solution:
     iters: jax.Array
     maxed_out: jax.Array
     stalled: jax.Array         # bool: line search exhausted before converging
+    # MEASURED max inequality violation max(g(x) - u)_+ of the returned
+    # iterate (None where not computed).  Dual routes renormalize x, so a
+    # tiny (even negative) duality gap can mask a small constraint
+    # violation — this surfaces it, mirroring eq_gap.
+    ineq_res: jax.Array | None = None
 
     # status codes (per instance under vmap)
     STATUS_OK = 0

@@ -108,11 +108,17 @@ class TestSchur:
     def test_separable_barrier_solve(self, key):
         prob = self._random_problem(key)
         x0 = jnp.zeros((prob.K, prob.nb))
-        x, info = separable_barrier_solve(prob, x0)
+        sol = separable_barrier_solve(prob, x0)
+        x = sol.x
         # KKT check: coupling holds, gradient stationarity on the span
         coupling = jnp.einsum("kpn,kn->p", prob.C, x) - prob.c
         assert float(jnp.linalg.norm(coupling)) < 1e-4
-        assert float(info["gap"]) < 1e-7
+        assert float(sol.duality_gap) < 1e-7
+        # Solution-record discipline (round-3 item 6): per-block flags
+        assert sol.stalled.shape == (prob.K,)
+        assert not bool(jnp.any(sol.stalled))
+        assert sol.lam.shape == prob.u.shape
+        assert bool(jnp.all(sol.lam > 0))
 
     def test_sharded_schur_matches_local(self, key):
         prob = self._random_problem(key, K=8)
@@ -131,8 +137,8 @@ class TestSchur:
         mesh = parallel.block_mesh(8)
         solver = make_sharded_schur_solver(mesh)
         x0 = jnp.zeros((prob.K, prob.nb))
-        x_local, _ = separable_barrier_solve(prob, x0)
-        x_shard, _ = separable_barrier_solve(prob, x0, kkt_solver=solver)
+        x_local = separable_barrier_solve(prob, x0).x
+        x_shard = separable_barrier_solve(prob, x0, kkt_solver=solver).x
         assert jnp.allclose(x_local, x_shard, atol=1e-6)
 
 

@@ -1,0 +1,512 @@
+"""Round-3 regression suite.
+
+Pins the round-3 verdict items:
+  1. 1e-8-certified solutions on the (f32-kernel + f64 finishing pass)
+     path — the reference's written accuracy contract
+     (SolverParams.scala:41 tolSolver = 1e-8, BarrierSolver.scala:102).
+  2. the advisor findings: measured inequality residuals on dual routes,
+     the polish pre-snap fix (positive-but-below-rounding multipliers
+     jamming the active-set Newton), checkpoint shape/dtype validation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvx_tpu.models import DistKL
+from cvx_tpu.models.dist_kl import kl_certify
+from cvx_tpu.solvers import SolverParams
+
+
+def _scenario(n=100, dtype=jnp.float32):
+    IA = np.zeros(n); IA[:3] = 1.0
+    IB = np.zeros(n); IB[n // 2:] = 1.0
+    return jnp.asarray(np.stack([-IA, IB]), dtype)
+
+
+class TestCertified1e8:
+    """Verdict item 1: the TPU path to the written 1e-8 gap contract."""
+
+    def test_single_instance_certified(self):
+        H = _scenario()
+        prob = DistKL.create(100, H=H, u=jnp.asarray([-0.4, 0.7],
+                                                     jnp.float32),
+                             dtype=jnp.float32)
+        sol = prob.solve(method="dual_fused_cert")
+        assert sol.x.dtype == jnp.float64
+        gap = float(sol.duality_gap)
+        assert gap <= 1e-8 and gap >= -1e-12, gap
+        assert float(sol.ineq_res) <= 1e-10
+        assert float(sol.eq_gap) <= 1e-10
+        assert not bool(sol.stalled)
+
+    def test_batched_certified_contract(self):
+        """128 varied instances (active/inactive constellations): every
+        certificate must beat 1e-8 with measured feasibility."""
+        n = 100
+        H = _scenario(n)
+        pA = jnp.linspace(0.05, 0.5, 128)
+        pB = jnp.linspace(0.45, 0.95, 128)
+
+        def one(a, b):
+            u = jnp.stack([-a, b]).astype(jnp.float32)
+            return DistKL.create(n, H=H, u=u,
+                                 dtype=jnp.float32).solve_certified()
+
+        sols = jax.jit(jax.vmap(one))(pA, pB)
+        gaps = np.asarray(sols.duality_gap)
+        assert gaps.max() <= 1e-8, gaps.max()
+        assert gaps.min() >= -1e-12, gaps.min()
+        assert np.asarray(sols.ineq_res).max() <= 1e-10
+        assert np.asarray(sols.eq_gap).max() <= 1e-10
+        assert not np.asarray(sols.stalled).any()
+
+    def test_certify_rejects_infeasible_input(self):
+        """kl_certify must not report a spuriously negative gap for an
+        INFEASIBLE input iterate (f(x) < p* when x violates an active
+        row): the feasibility-weighted selection keeps the refined x."""
+        n = 100
+        H = _scenario(n)
+        u = jnp.asarray([-0.4, 0.7], jnp.float32)
+        prob = DistKL.create(n, H=H, u=u, dtype=jnp.float32)
+        eqs = prob.equalities
+        # deliberately infeasible input: violate the active row by 1e-4
+        x_bad = np.full(n, 1.0 / n)
+        x_bad[:3] = (0.4 - 1e-4) / 3
+        x_bad[3:] = (0.6 + 1e-4) / 97
+        cert = kl_certify(prob.H, prob.u, eqs.A, eqs.b,
+                          jnp.asarray(x_bad, jnp.float32))
+        assert float(cert.gap) >= -1e-12
+        assert float(cert.gap) <= 1e-8
+        assert float(cert.ineq_res) <= 1e-10
+
+    def test_certify_requires_x64(self):
+        prev = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", False)
+        try:
+            H = _scenario()
+            prob = DistKL.create(100, H=H,
+                                 u=jnp.asarray([-0.4, 0.7], jnp.float32),
+                                 dtype=jnp.float32)
+            eqs = prob.equalities
+            with pytest.raises(RuntimeError, match="x64"):
+                kl_certify(prob.H, prob.u, eqs.A, eqs.b,
+                           jnp.full((100,), 0.01, jnp.float32))
+        finally:
+            jax.config.update("jax_enable_x64", prev)
+
+    def test_polish_does_not_jam_on_tiny_positive_lam(self):
+        """The least-squares dual init can leave a multiplier at +O(eps):
+        not <= 0, so the freeze test missed it and its huge inward
+        gradient poisoned the coupled Newton step — the polish then
+        jammed at the init forever.  The pre-snap must let it converge."""
+        from cvx_tpu.duality import _polish_dual
+        from cvx_tpu.models.dist_kl import _NegDualObjective
+
+        n = 100
+        H = _scenario(n, jnp.float64)
+        u = jnp.asarray([-0.40787402, 0.84763779], jnp.float64)
+        B = jnp.concatenate([H, jnp.ones((1, n), jnp.float64)], axis=0)
+        w = jnp.concatenate([u, jnp.ones((1,), jnp.float64)])
+        d = _NegDualObjective(B=B, w=w,
+                              R=jnp.full((n,), 1 / (n * np.e), jnp.float64))
+        # near-optimal z with a positive-but-below-rounding second lam
+        z0 = jnp.asarray([3.10333707, 6.18e-15, -0.50642342], jnp.float64)
+        z = _polish_dual(d, z0, num_ineq=2, steps=6)
+        g = d.grad(z)
+        free = jnp.asarray([True, False, True])   # lam_2 frozen at bound
+        assert float(jnp.max(jnp.abs(jnp.where(free, g, 0.0)))) < 1e-10
+
+
+class TestFusedKernelDim5:
+    """Verdict item 2: the fused dual kernel covers dual dim
+    k + 1 + mE <= 5 (was k <= 2, no equalities) — no silent fall-off to
+    the slower XLA route inside the supported envelope."""
+
+    @pytest.mark.parametrize("k,m_eq", [(1, 0), (2, 0), (3, 0), (4, 0),
+                                        (1, 1), (2, 1), (2, 2), (3, 1),
+                                        (0, 1), (0, 2)])
+    def test_fused_matches_dual_fast(self, k, m_eq):
+        n = 64
+        rng = np.random.default_rng(k * 10 + m_eq)
+        # random disjoint-ish event rows, feasible by construction around
+        # a point x0 concentrated on nothing in particular
+        x0 = rng.uniform(0.5, 1.5, n)
+        x0 = x0 / x0.sum()
+        H = rng.uniform(0.0, 1.0, (k, n))
+        u = H @ x0 + rng.uniform(0.05, 0.2, k)      # strictly feasible
+        A = rng.uniform(0.0, 1.0, (m_eq, n))
+        r = A @ x0                                   # consistent
+        prob = DistKL.create(
+            n, H=jnp.asarray(H, jnp.float32), u=jnp.asarray(u, jnp.float32),
+            A=jnp.asarray(A, jnp.float32) if m_eq else None,
+            r=jnp.asarray(r, jnp.float32) if m_eq else None,
+            dtype=jnp.float32)
+        s_fused = prob.solve(method="dual_fused")
+        s_fast = prob.solve(method="dual_fast")
+        gap_fused = float(s_fused.duality_gap)
+        gap_fast = float(s_fast.duality_gap)
+        assert gap_fused < 1e-5, (k, m_eq, gap_fused)
+        assert np.allclose(np.asarray(s_fused.x), np.asarray(s_fast.x),
+                           atol=5e-5), (k, m_eq)
+        assert abs(gap_fused - gap_fast) < 1e-5
+
+    def test_fused_active_constraints_dim5(self):
+        """k=3 active-ish rows + 1 equality (dim 5) certified end to end."""
+        n = 100
+        IA = np.zeros(n); IA[:3] = 1.0
+        IB = np.zeros(n); IB[n // 2:] = 1.0
+        IC = np.zeros(n); IC[10:30] = 1.0
+        H = jnp.asarray(np.stack([-IA, IB, IC]), jnp.float32)
+        A = jnp.asarray(np.linspace(0.2, 0.8, n)[None], jnp.float32)
+        prob = DistKL.create(
+            n, H=H, u=jnp.asarray([-0.3, 0.7, 0.4], jnp.float32),
+            A=A, r=jnp.asarray([0.52], jnp.float32), dtype=jnp.float32)
+        sol = prob.solve(method="dual_fused_cert")
+        assert float(sol.duality_gap) <= 1e-8
+        assert float(sol.ineq_res) <= 1e-10
+        assert float(sol.eq_gap) <= 1e-10
+
+    def test_fallback_beyond_dim5(self):
+        """dim > 5 still solves (XLA dual_fast fallback, no exception)."""
+        n = 64
+        rng = np.random.default_rng(7)
+        x0 = np.full(n, 1.0 / n)
+        H = rng.uniform(0.0, 1.0, (5, n))
+        u = H @ x0 + 0.1
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float32),
+                             u=jnp.asarray(u, jnp.float32),
+                             dtype=jnp.float32)
+        sol = prob.solve(method="dual_fused")   # dim 6 -> fallback
+        assert float(sol.duality_gap) < 1e-5
+
+
+class TestIneqResidualReporting:
+    """Advisor finding 1: dual routes report measured inequality
+    feasibility of the renormalized x, mirroring eq_gap."""
+
+    def test_dual_routes_carry_ineq_res(self):
+        H = _scenario()
+        prob = DistKL.create(100, H=H,
+                             u=jnp.asarray([-0.4, 0.7], jnp.float32),
+                             dtype=jnp.float32)
+        for method in ("dual_fast", "dual_fused", "dual_fused_cert"):
+            sol = prob.solve(method=method)
+            assert sol.ineq_res is not None, method
+            v = float(sol.ineq_res)
+            assert np.isfinite(v) and v >= 0.0, (method, v)
+            # f32 routes may violate by ~1e-6; never by more
+            assert v < 1e-5, (method, v)
+
+    def test_ineq_res_detects_violation(self):
+        H = _scenario()
+        prob = DistKL.create(100, H=H,
+                             u=jnp.asarray([-0.4, 0.7], jnp.float32),
+                             dtype=jnp.float32)
+        x_bad = jnp.full((100,), 0.01, jnp.float32)  # P(A)=0.03 < 0.4
+        assert float(prob._ineq_res(x_bad)) == pytest.approx(0.37, rel=1e-5)
+
+
+class TestStructuredFrontDoor:
+    """Verdict item 4: LP()/DiagQP get a no-feasible-point .solve() and
+    api.minimize routes DiagQP-shaped problems to the Woodbury path
+    (reference: OptimizationProblem.scala:174-196 factories)."""
+
+    def test_lp_solve_from_nothing(self):
+        """min a.x s.t. sum x = 1, x > 0 — optimum concentrates on the
+        smallest coefficient."""
+        from cvx_tpu.models import LP
+
+        n = 16
+        a = jnp.arange(1.0, n + 1.0)          # argmin at coordinate 0
+        lp = LP(a, A=jnp.ones((1, n)), b=jnp.ones((1,)))
+        sol = lp.solve()
+        x = np.asarray(sol.x)
+        assert abs(float(a @ sol.x) - 1.0) < 1e-2    # f* = a_0 = 1
+        assert x[0] > 0.99
+        # the structured path restores equality feasibility progressively
+        # from the phase-I output; at tol=1e-8 it lands ~1e-5
+        assert float(sol.eq_gap) < 1e-4
+
+    def test_lp_solve_with_rows(self):
+        """LP with a dense inequality row capping the best coordinate."""
+        from cvx_tpu.models import LP
+
+        n = 8
+        a = jnp.arange(1.0, n + 1.0)
+        U = jnp.zeros((1, n)).at[0, 0].set(1.0)   # x_0 <= 0.25
+        lp = LP(a, U=U, ub=jnp.asarray([0.25]),
+                A=jnp.ones((1, n)), b=jnp.ones((1,)))
+        sol = lp.solve()
+        x = np.asarray(sol.x)
+        # optimum: x_0 = 0.25 (capped), rest on coordinate 1
+        assert abs(x[0] - 0.25) < 1e-3
+        assert abs(x[1] - 0.75) < 1e-3
+        assert abs(float(a @ sol.x) - (0.25 * 1 + 0.75 * 2)) < 1e-2
+
+    def test_diagqp_solve_from_nothing(self):
+        from cvx_tpu.models import DiagQP
+
+        n = 12
+        c = jnp.ones((n,))
+        a = -jnp.linspace(0.5, 1.5, n)
+        qp = DiagQP(c=c, a=a, U=jnp.zeros((0, n)), ub=jnp.zeros((0,)),
+                    A=jnp.ones((1, n)), b=jnp.ones((1,)))
+        sol = qp.solve()
+        assert float(sol.duality_gap) < 1e-7
+        assert float(sol.eq_gap) < 1e-7
+        # KKT: x = a_neg + nu spread s.t. sum = 1 (projected), all > 0
+        assert float(jnp.min(sol.x)) > 0
+
+    def test_diagqp_infeasible_raises(self):
+        from cvx_tpu.models import DiagQP
+        from cvx_tpu.solvers.phase1 import InfeasibleProblemError
+
+        n = 4
+        # x > 0 with sum x = -1: infeasible
+        qp = DiagQP(c=jnp.ones((n,)), a=jnp.zeros((n,)),
+                    U=jnp.zeros((0, n)), ub=jnp.zeros((0,)),
+                    A=jnp.ones((1, n)), b=-jnp.ones((1,)))
+        with pytest.raises(InfeasibleProblemError):
+            qp.solve()
+
+    def test_minimize_dispatches_br_fast(self):
+        """minimize(method='BR_fast') routes a DiagQP-shaped problem to the
+        structured Woodbury path and matches the dense barrier."""
+        from cvx_tpu import minimize
+        from cvx_tpu.problem.constraint_set import ConstraintSet
+        from cvx_tpu.problem.constraints import positivity, rows_leq
+        from cvx_tpu.problem.equality import EqualityConstraint
+        from cvx_tpu.models.dist_kl import KLObjective
+
+        n = 32
+        obj = KLObjective(n=n)
+        U = jnp.zeros((1, n)).at[0, :3].set(-1.0)     # P(A) >= 0.3
+        cnts = ConstraintSet(blocks=(rows_leq(U, jnp.asarray([-0.3])),
+                                     positivity(n)))
+        eqs = EqualityConstraint(A=jnp.ones((1, n)), b=jnp.ones((1,)))
+        x0 = jnp.full((n,), 1.0 / n)
+        fp = jnp.where(jnp.arange(n) < 3, 0.35 / 3, 0.65 / (n - 3))
+        s_fast = minimize(obj, cnts, eqs, x0=x0, feasible_point=fp,
+                          method="BR_fast")
+        s_dense = minimize(obj, cnts, eqs, x0=x0, feasible_point=fp,
+                           method="BR")
+        assert float(s_fast.duality_gap) < 1e-7
+        assert np.allclose(np.asarray(s_fast.x), np.asarray(s_dense.x),
+                           atol=1e-6)
+
+    def test_minimize_br_fast_rejects_unstructured(self):
+        from cvx_tpu import minimize
+        from cvx_tpu.problem.constraint_set import ConstraintSet
+        from cvx_tpu.problem.constraints import rows_leq
+        from cvx_tpu.models.dist_kl import KLObjective
+
+        n = 8
+        obj = KLObjective(n=n)
+        cnts = ConstraintSet(blocks=(rows_leq(jnp.ones((1, n)),
+                                              jnp.ones((1,))),))
+        with pytest.raises(ValueError, match="positivity"):
+            minimize(obj, cnts, x0=jnp.full((n,), 1.0 / n),
+                     feasible_point=jnp.full((n,), 1.0 / (2 * n)),
+                     method="BR_fast")
+
+
+class TestSchurSolutionRecord:
+    """Verdict item 6: the Schur-consensus barrier returns a Solution with
+    per-block status flags; a poisoned block is flagged like poisoned
+    instances are elsewhere."""
+
+    def _problem(self, key, K=4, nb=8, mb=4, p=2):
+        from cvx_tpu.parallel.schur import SeparableProblem
+
+        ks = jax.random.split(key, 4)
+        eye = jnp.eye(nb)
+        P = jnp.tile((eye + 0.1)[None], (K, 1, 1))
+        a = jax.random.normal(ks[0], (K, nb))
+        G = jnp.tile(jnp.concatenate([eye, -eye], axis=0)[None],
+                     (K, 1, 1))[:, :mb]
+        u = jnp.full((K, mb), 10.0)
+        C = jax.random.normal(ks[1], (K, p, nb)) / np.sqrt(nb)
+        c = 0.1 * jax.random.normal(ks[2], (p,))
+        return SeparableProblem(P=P, a=a, G=G, u=u, C=C, c=c)
+
+    def test_healthy_solution_record(self, key=jax.random.PRNGKey(3)):
+        from cvx_tpu.diagnostics import solve_stats
+        from cvx_tpu.parallel.schur import separable_barrier_solve
+
+        prob = self._problem(key)
+        sol = separable_barrier_solve(prob, jnp.zeros((prob.K, prob.nb)))
+        assert sol.x.shape == (prob.K, prob.nb)
+        assert sol.lam.shape == prob.u.shape
+        assert sol.nu.shape == prob.c.shape
+        assert sol.stalled.shape == (prob.K,)
+        assert not bool(jnp.any(sol.stalled))
+        stats = solve_stats(sol)
+        assert stats["stalled_frac"] == 0.0
+        # equality duals satisfy block stationarity approximately:
+        # t P_k x_k + t a_k + G' (1/(t d)) ... lam,nu barrier estimates
+        grad_lag = (jnp.einsum("kij,kj->ki", prob.P, sol.x) + prob.a
+                    + jnp.einsum("kmn,km->kn", prob.G, sol.lam)
+                    + jnp.einsum("kpn,p->kn", prob.C, sol.nu))
+        assert float(jnp.max(jnp.abs(grad_lag))) < 1e-2
+
+    def test_poisoned_block_is_flagged(self, key=jax.random.PRNGKey(4)):
+        """An instance with NaN data poisons ONLY its own block flags."""
+        from cvx_tpu.parallel.schur import separable_barrier_solve
+        from cvx_tpu.tree import replace
+
+        prob = self._problem(key)
+        a_bad = prob.a.at[1].set(jnp.nan)
+        prob_bad = replace(prob, a=a_bad)
+        sol = separable_barrier_solve(prob_bad,
+                                      jnp.zeros((prob.K, prob.nb)))
+        stalled = np.asarray(sol.stalled)
+        assert stalled[1]               # the poisoned block is flagged
+
+
+class TestResumeProduction:
+    """Verdict item 7: checkpoint/resume for the PRODUCTION routes.
+    Preempt the BR_fast continuation mid-flight; the resumed run must
+    match straight-through to certificate level."""
+
+    def _prob(self):
+        n = 100
+        H = _scenario(n, jnp.float64)
+        return DistKL.create(n, H=H, u=jnp.asarray([-0.4, 0.7]),
+                             dtype=jnp.float64)
+
+    def test_resume_br_fast_matches_straight_through(self, tmp_path):
+        from cvx_tpu.checkpoint import (load_pytree, resume_structured,
+                                        save_pytree)
+        from cvx_tpu.models.dist_kl import kl_dual_gap
+
+        prob = self._prob()
+        eqs = prob.equalities
+        n = prob.n
+        x0 = jnp.where(jnp.arange(n) < 3, 0.45 / 3, 0.55 / (n - 3))
+        pars_full = SolverParams(tol=1e-9, mu=20.0)
+        sol_full = prob.solve_jittable(x0, method="BR_fast",
+                                       pars=pars_full)
+
+        # preempt: only 2 continuation stages, then checkpoint to disk
+        pars_cut = SolverParams(tol=1e-9, mu=20.0, outer_max_iter=2)
+        sol_cut = prob.solve_jittable(x0, method="BR_fast", pars=pars_cut)
+        assert float(sol_cut.duality_gap) > 1e-9   # genuinely unfinished
+        path = str(tmp_path / "preempted.npz")
+        save_pytree(path, sol_cut)
+        sol_loaded = load_pytree(path, sol_cut)
+
+        sol_res = resume_structured(prob.objective, prob.H, prob.u,
+                                    eqs.A, eqs.b, sol_loaded, pars_full)
+        # same certificate level as straight-through (measured, not m/t)
+        g_full, _ = kl_dual_gap(prob.H, prob.u, eqs.A, eqs.b, sol_full.x)
+        g_res, _ = kl_dual_gap(prob.H, prob.u, eqs.A, eqs.b, sol_res.x)
+        assert float(g_res) < 1e-9
+        assert abs(float(g_res) - float(g_full)) < 1e-9
+        assert float(jnp.max(jnp.abs(sol_res.x - sol_full.x))) < 1e-6
+
+    def test_resume_finished_checkpoint_is_identity(self):
+        from cvx_tpu.checkpoint import resume_structured
+
+        prob = self._prob()
+        eqs = prob.equalities
+        n = prob.n
+        x0 = jnp.where(jnp.arange(n) < 3, 0.45 / 3, 0.55 / (n - 3))
+        pars = SolverParams(tol=1e-9, mu=20.0)
+        sol = prob.solve_jittable(x0, method="BR_fast", pars=pars)
+        assert float(sol.duality_gap) <= 1e-9
+        sol2 = resume_structured(prob.objective, prob.H, prob.u,
+                                 eqs.A, eqs.b, sol, pars)
+        assert sol2 is sol
+
+    def test_resume_unhealthy_raises(self):
+        from cvx_tpu.checkpoint import resume_structured
+        from cvx_tpu.tree import replace
+
+        prob = self._prob()
+        eqs = prob.equalities
+        n = prob.n
+        x0 = jnp.where(jnp.arange(n) < 3, 0.45 / 3, 0.55 / (n - 3))
+        sol = prob.solve_jittable(x0, method="BR_fast",
+                                  pars=SolverParams(outer_max_iter=1))
+        bad = replace(sol, duality_gap=jnp.asarray(jnp.nan, jnp.float64))
+        with pytest.raises(ValueError, match="unhealthy"):
+            resume_structured(prob.objective, prob.H, prob.u,
+                              eqs.A, eqs.b, bad)
+
+
+class TestRuizVariants:
+    """Verdict item 9: EVIDENCE for the claim that the convergent l2 Ruiz
+    loop subsumes the reference's l-inf + 5xl2 variant
+    (MatrixUtils.scala:278-307 ruizEquilibrate0).  Port of the
+    condition-number-ratio study MatrixUtilsTests.scala:384-404: both
+    variants run on random SPD stress matrices with prescribed condition
+    numbers; the l2 loop must reduce the condition number at least as well
+    (up to a small slack) on EVERY instance."""
+
+    @pytest.mark.parametrize("cond", [1e6, 1e10, 1e14])
+    def test_l2_loop_subsumes_linf_variant(self, key, cond):
+        from cvx_tpu.ops.equilibrate import (condition_number,
+                                             ruiz_equilibrate,
+                                             ruiz_equilibrate0)
+        from cvx_tpu.ops.testmat import random_spd
+
+        n = 64
+        ratios = []
+        for i in range(8):
+            ki = jax.random.fold_in(key, i + int(np.log10(cond)))
+            H = random_spd(ki, n, cond)
+            c0 = float(condition_number(H))
+            _, Q2 = ruiz_equilibrate(H)
+            _, Q0 = ruiz_equilibrate0(H)
+            c2 = float(condition_number(Q2))
+            cinf = float(condition_number(Q0))
+            # neither variant HURTS meaningfully (equilibration cannot
+            # always help: rotated-spectrum SPD matrices already have
+            # near-uniform row norms, so reductions here are modest)
+            assert c2 < 1.1 * c0 and cinf < 1.1 * c0
+            ratios.append(c2 / cinf)
+        # MEASURED PARITY (the "subsumed" claim, now evidenced): the
+        # convergent l2 loop lands within 5% of the l-inf+5xl2 variant on
+        # every stress instance (observed: within 0.7%)
+        assert max(ratios) < 1.05, ratios
+
+    def test_variants_agree_on_solve(self, key):
+        """Both equilibrations feed the same downstream recipe: solve
+        Q u = d b, x = d u — answers must agree."""
+        from cvx_tpu.ops.equilibrate import (ruiz_equilibrate,
+                                             ruiz_equilibrate0)
+        from cvx_tpu.ops.testmat import random_spd
+
+        n = 32
+        H = random_spd(key, n, 1e8)
+        b = jax.random.normal(jax.random.fold_in(key, 1), (n,))
+        for eq in (ruiz_equilibrate, ruiz_equilibrate0):
+            d, Q = eq(H)
+            x = d * jnp.linalg.solve(Q, d * b)
+            assert float(jnp.linalg.norm(H @ x - b)) < 1e-6 * float(
+                jnp.linalg.norm(b))
+
+
+class TestCheckpointValidation:
+    """Advisor finding 3: load_pytree validates shapes and dtypes."""
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        from cvx_tpu.checkpoint import load_pytree, save_pytree
+
+        tree = {"a": jnp.ones((4,)), "b": jnp.zeros((2, 2))}
+        path = str(tmp_path / "ck.npz")
+        save_pytree(path, tree)
+        bad = {"a": jnp.ones((5,)), "b": jnp.zeros((2, 2))}
+        with pytest.raises(ValueError, match="leaf 0"):
+            load_pytree(path, bad)
+
+    def test_dtype_mismatch_raises(self, tmp_path):
+        from cvx_tpu.checkpoint import load_pytree, save_pytree
+
+        tree = {"a": jnp.ones((4,), jnp.float32)}
+        path = str(tmp_path / "ck.npz")
+        save_pytree(path, tree)
+        with pytest.raises(ValueError, match="leaf 0"):
+            load_pytree(path, {"a": jnp.ones((4,), jnp.float64)})
