@@ -112,7 +112,7 @@ def main():
 
         def vsolve(pA, pB):
             u = jnp.stack([-pA, pB], axis=1)
-            xs, gaps = kl_dual_fused(Hb, u, n_steps=steps)
+            xs, gaps, _ = kl_dual_fused(Hb, u, n_steps=steps)
             iters = jnp.full((batch,), steps, jnp.int32)
             return xs, gaps, iters
     elif method == "dual_fast":
@@ -201,13 +201,15 @@ def main():
     # the device — no host recompute in the honest-number path.
     if (os.environ.get("BENCH_CERT", "1") != "0"
             and method in ("dual_fused", "dual_fast")):
-        def cert_one(pA_i, pB_i):
-            u = jnp.stack([-pA_i, pB_i]).astype(dtype)
-            prob = DistKL.create(n, H=H, u=u, dtype=dtype)
-            s = prob.solve_certified(pars)
+        cert_prob = DistKL.create(n, H=H,
+                                  u=jnp.zeros((H.shape[0],), dtype),
+                                  dtype=dtype)
+
+        def vcert(pA, pB):
+            u = jnp.stack([-pA, pB], axis=1)
+            s = cert_prob.solve_certified_batch(u, pars=pars)
             return s.x, s.duality_gap, s.ineq_res, s.eq_gap
 
-        vcert = jax.vmap(cert_one)
         reps_c = max(3, reps // 2)
 
         @jax.jit

@@ -128,7 +128,7 @@ def kl_batch(records, n, batch, dtype, on_tpu):
     bt = 256 if n <= 128 else (64 if n <= 1024 else 8)
 
     def solve_dual(u):
-        xs, gaps = kl_dual_fused(Hb, u, n_steps=steps, bt=bt,
+        xs, gaps, _ = kl_dual_fused(Hb, u, n_steps=steps, bt=bt,
                                  interpret=not on_tpu)
         return xs, gaps
 
@@ -141,6 +141,92 @@ def kl_batch(records, n, batch, dtype, on_tpu):
         "newton_iters_per_s": round(batch * steps / sec, 1),
         "gap_cert_max": float(np.max(cert)),
         "ms_per_batch": round(sec * 1e3, 2),
+    }
+    records.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def kl_k3_vs_k2(records, dtype, on_tpu):
+    """Round-3 verdict item 2 bench point: the generalized fused dual
+    kernel at k=3 scenario rows (dual dim 4) must stay within ~1.5x of the
+    flagship k=2 shape (dual dim 3) — no silent cliff off the Pallas path."""
+    from cvx_tpu.diagnostics import kl_gap_certificate_np
+    from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
+
+    n, batch = 100, 10000 if on_tpu else 128
+    I_A = np.zeros(n); I_A[:3] = 1.0
+    I_B = np.zeros(n); I_B[n // 2:] = 1.0
+    I_C = np.zeros(n); I_C[10:30] = 1.0
+    pA = jax.random.uniform(jax.random.PRNGKey(0), (batch,), dtype, 0.2, 0.5)
+    pB = jax.random.uniform(jax.random.PRNGKey(1), (batch,), dtype,
+                            0.55, 0.8)
+    pC = jax.random.uniform(jax.random.PRNGKey(2), (batch,), dtype,
+                            0.35, 0.6)
+    reps = 10 if on_tpu else 3
+    times = {}
+    for k, rowset, urows in [
+            (2, [-I_A, I_B], [-pA, pB]),
+            (3, [-I_A, I_B, I_C], [-pA, pB, pC])]:
+        H = jnp.asarray(np.stack(rowset), dtype)
+        Hb = jnp.tile(H[None], (batch, 1, 1))
+        u = jnp.stack(urows, axis=1)
+
+        def solve(u, Hb=Hb):
+            x_, gap_, _ = kl_dual_fused(Hb, u, n_steps=16,
+                                        bt=256 if on_tpu else 8,
+                                        interpret=not on_tpu)
+            return x_, gap_
+
+        sec, (_, (xs, _)) = timed(chained(solve, reps), u, reps=reps)
+        u_np = np.asarray(u, np.float64)
+        cert = kl_gap_certificate_np(np.asarray(xs), H, u_np)
+        times[k] = sec
+        rec = {
+            "metric": f"kl_dual_fused_k{k}_n{n}", "batch": batch,
+            "value": round(batch / sec, 1), "unit": "instances/s",
+            "ms_per_batch": round(sec * 1e3, 2),
+            "gap_cert_max": float(np.max(cert)),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+    rec = {"metric": "kl_dual_fused_k3_over_k2_time_ratio",
+           "value": round(times[3] / times[2], 3), "unit": "x"}
+    records.append(rec)
+    print(json.dumps(rec), flush=True)
+
+
+def kl_certified(records, dtype, on_tpu):
+    """Round-3 verdict item 1 bench point: the CERTIFIED path (f32 fused
+    kernel + on-chip f64 finishing pass) — max measured gap must beat the
+    reference's written 1e-8 contract at fleet throughput."""
+    jax.config.update("jax_enable_x64", True)
+    from cvx_tpu.models import DistKL
+
+    n, batch = 100, 10000 if on_tpu else 128
+    I_A = np.zeros(n); I_A[:3] = 1.0
+    I_B = np.zeros(n); I_B[n // 2:] = 1.0
+    H = jnp.asarray(np.stack([-I_A, I_B]), dtype)
+    prob = DistKL.create(n, H=H, u=jnp.zeros((2,), dtype), dtype=dtype)
+    pA = jax.random.uniform(jax.random.PRNGKey(0), (batch,), dtype, 0.2, 0.5)
+    pB = jax.random.uniform(jax.random.PRNGKey(1), (batch,), dtype,
+                            0.55, 0.8)
+    u = jnp.stack([-pA, pB], axis=1)
+
+    def solve(u):
+        s = prob.solve_certified_batch(u)
+        return s.x, s.duality_gap, s.ineq_res
+
+    reps = 5 if on_tpu else 2
+    sec, (_, (xs, gaps, ineq)) = timed(chained(solve, reps), u, reps=reps)
+    gaps = np.asarray(gaps)
+    rec = {
+        "metric": f"kl_certified_1e8_n{n}", "batch": batch,
+        "value": round(batch / sec, 1), "unit": "instances/s",
+        "ms_per_batch": round(sec * 1e3, 2),
+        "gap_measured_max": float(np.max(gaps)),
+        "gap_measured_min": float(np.min(gaps)),
+        "ineq_res_max": float(np.max(np.asarray(ineq))),
+        "contract_1e8": bool(np.max(gaps) <= 1e-8),
     }
     records.append(rec)
     print(json.dumps(rec), flush=True)
@@ -294,6 +380,10 @@ def main():
     for n in (int(s) for s in sizes.split(",") if s):
         kl_batch(records, n, batches.get(n, 1000) if on_tpu
                  else max(8, 1024 // n), dtype, on_tpu)
+    if os.environ.get("SCALE_K3", "1") == "1":
+        kl_k3_vs_k2(records, dtype, on_tpu)
+    if os.environ.get("SCALE_CERT", "1") == "1":
+        kl_certified(records, dtype, on_tpu)
     if os.environ.get("SCALE_QP", "1") == "1":
         qp_n1000(records, dtype)
     if os.environ.get("SCALE_KKT", "1") == "1":

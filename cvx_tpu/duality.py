@@ -97,7 +97,8 @@ def _small_solve(A: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _polish_dual(obj: Any, z: jax.Array, num_ineq: int,
-                 steps: int) -> jax.Array:
+                 steps: int, value_band_eps: float | None = None
+                 ) -> jax.Array:
     """Active-set projected-Newton polish of the dual optimum.
 
     The barrier solve stops at duality gap ~ m/t; the PRIMAL recovery
@@ -120,6 +121,14 @@ def _polish_dual(obj: Any, z: jax.Array, num_ineq: int,
     mask = (jnp.arange(dim) < num_ineq)
     ts = 0.5 ** jnp.arange(8, dtype=dtype)  # 1, 1/2, ..., 1/128
     eps = jnp.finfo(dtype).eps
+    # the gradient-fallback acceptance band must cover the VALUE's
+    # evaluation error, or near-optimal steps get deterministically
+    # rejected.  Native arithmetic: 32 eps.  TPU-EMULATED f64 evaluates
+    # exp/log-heavy values to only ~1e-12 relative (measured), so callers
+    # on that path pass value_band_eps explicitly (kl_certify).
+    band_eps = (32.0 * eps if value_band_eps is None
+                else jnp.maximum(32.0 * eps,
+                                 jnp.asarray(value_band_eps, dtype)))
     eye = jnp.eye(dim, dtype=dtype)
 
     def project(z_):
@@ -184,7 +193,7 @@ def _polish_dual(obj: Any, z: jax.Array, num_ineq: int,
         # grad-norm decrease whose value change is within rounding noise of
         # f0 (it exists to escape the value-resolution floor, not to trade
         # value for gradient far from the optimum)
-        noise = 32.0 * eps * (1.0 + jnp.abs(f0))
+        noise = band_eps * (1.0 + jnp.abs(f0))
         g_ok = jnp.logical_and(
             jnp.logical_and(gns[bg] < 0.9 * gn0, fs[bg] <= f0 + noise),
             dir_ok)

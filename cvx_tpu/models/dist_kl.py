@@ -96,7 +96,8 @@ class _NegDualObjective:
                           precision="highest")
 
 
-def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8):
+def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8,
+                value_band_eps: float | None = None):
     """MEASURED duality-gap certificate for the KL problem at iterate ``x``.
 
     ``H`` (k, n) / ``u`` (k,) are the scenario inequality rows; ``A`` (p, n) /
@@ -145,10 +146,76 @@ def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8):
     z = jnp.where(mask, jnp.maximum(z, 0.0), z)
 
     neg_dual = _NegDualObjective(B=B, w=w, R=R)
-    z = _polish_dual(neg_dual, z, num_ineq=k, steps=polish_steps)
+    z = _polish_dual(neg_dual, z, num_ineq=k, steps=polish_steps,
+                     value_band_eps=value_band_eps)
     dual_val = -neg_dual.value(z)
     primal_val = x @ jnp.log(n * x)
     return primal_val - dual_val, z
+
+
+def _kl_warm_polish(B, w, R, z, k, steps: int):
+    """Lean fixed-count projected-Newton polish of the KL dual from a WARM
+    start whose active set is already settled (the f32 kernel's final z).
+
+    No value-based line search: a full Newton step capped at the first
+    lam boundary (fraction-to-boundary), bound-active coordinates frozen
+    out of the tiny (dim <= 5) system — the same active-set algebra as
+    the Pallas kernel (ops/pallas_kl_dual.py), in XLA f64.  From a
+    ~1e-6-accurate start the iteration is inside the quadratic-convergence
+    basin, so each step costs ONE (n,)-exp + a handful of O(n dim)
+    contractions; the line-searched ``duality._polish_dual`` step costs
+    ~25 exps, which under TPU f64 EMULATION (~50 ms per step at 10k x 100)
+    is the whole certified-path budget.  Monotonicity is not enforced —
+    the caller measures the final gap and keeps the better of
+    {refined, input}, so a (never observed) bad step cannot corrupt the
+    certificate, only weaken it.
+    """
+    from ..duality import _small_solve
+
+    dim = B.shape[0]
+    dtype = z.dtype
+    eps = jnp.finfo(dtype).eps
+    ineq = jnp.arange(dim) < k
+    max_e = 0.9 * jnp.log(jnp.finfo(dtype).max)
+
+    def step(z, _):
+        Btz = jnp.einsum("in,i->n", B, z, precision="highest")
+        y = R * jnp.exp(jnp.clip(-Btz, -max_e, max_e))
+        g = w - jnp.einsum("in,n->i", B, y, precision="highest")
+        at_bound = jnp.logical_and(ineq,
+                                   jnp.logical_and(z <= 0.0, g > 0.0))
+        free = jnp.where(at_bound, 0.0, 1.0).astype(dtype)
+        Hm = jnp.einsum("in,n,jn->ij", B, y, B, precision="highest")
+        Hm = Hm * (free[:, None] * free[None, :]) + jnp.diag(1.0 - free)
+        # ridge at the EMULATED-f64 accuracy floor (~1e-14 relative einsum
+        # error measured on v5e), not native eps — keeps the Cholesky of a
+        # near-degenerate active-set Hessian stable without limiting the
+        # 1e-8 contract
+        Hm = Hm + 1e-13 * jnp.diag(jnp.diag(Hm))
+        dz = _small_solve(Hm, -(g * free))
+        # a lam already AT its bound cannot move down (the mask catches
+        # g > 0; this catches the coupled g < 0, dz < 0 case)
+        dz = jnp.where(jnp.logical_and(ineq, jnp.logical_and(z <= 0.0,
+                                                             dz < 0.0)),
+                       0.0, dz)
+        hit = jnp.logical_and(ineq, dz < 0.0)
+        t_bd = jnp.min(jnp.where(hit, -z / jnp.where(hit, dz, -1.0),
+                                 jnp.inf))
+        t = jnp.minimum(jnp.asarray(1.0, dtype), t_bd)
+        z_new = z + t * dz
+        z_new = jnp.where(ineq, jnp.maximum(z_new, 0.0), z_new)
+        # snap boundary landings (O(eps |z|) residue) to exactly 0 so the
+        # coordinate freezes next step instead of jamming t_bd at ~0
+        z_new = jnp.where(jnp.logical_and(
+            ineq, z_new <= 8.0 * eps * jnp.abs(z)), 0.0, z_new)
+        # defensive: a non-finite step (divergent dual of an INFEASIBLE
+        # instance) keeps the previous iterate — the measured gap still
+        # blows up through w.z and the stall flags fire
+        z_new = jnp.where(jnp.all(jnp.isfinite(z_new)), z_new, z)
+        return z_new, None
+
+    z, _ = jax.lax.scan(step, z, None, length=steps)
+    return z
 
 
 @pytree_dataclass
@@ -163,7 +230,7 @@ class KLCertificate:
     nu: jax.Array         # polished equality duals (f64)
 
 
-def kl_certify(H, u, A, b, x, polish_steps: int = 6):
+def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None):
     """F64 finishing pass: refine a KL iterate to the reference's WRITTEN
     1e-8 duality-gap contract and certify it with measured residuals.
 
@@ -172,10 +239,21 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6):
     floor at a ~1e-6 measured gap (f32 value-resolution limit); this pass
     lifts the data and the iterate to f64 — EMULATED on TPU, where exp is
     accurate to ~2e-12 relative and einsums to ~1e-14 (measured on v5e) —
-    fits + polishes a dual-feasible z (``kl_dual_gap``), recovers the
-    refined primal x(z) = R exp(-B'z)/sum, and keeps whichever of
-    {refined, input} primal certifies the smaller gap.  O(n dim^2) per
-    polish step: trivial FLOPs even under f64 emulation.
+    polishes a dual-feasible z, recovers the refined primal
+    x(z) = R exp(-B'z)/sum, and keeps whichever of {refined, input} primal
+    certifies the smaller gap + violation score.  O(n dim^2) per polish
+    step: trivial FLOPs even under f64 emulation.
+
+    Two dual-start modes:
+      * ``z0=None`` (cold): least-squares stationarity fit at ``x`` +
+        line-searched ``_polish_dual`` (``kl_dual_gap``) — robust for an
+        iterate of unknown quality (e.g. a primal-route x).
+      * ``z0=`` the f32 kernel's dual (layout [lam_k, nu_sum1, nu_mE],
+        exactly ``kl_dual_fused``'s third output): the active set is
+        already settled, so a lean fixed-count Newton polish with NO
+        line-search value evaluations suffices (``_kl_warm_polish``) —
+        ~25x fewer exps per step, the difference between ~2.5k and ~60k
+        certified instances/s under TPU f64 emulation.
 
     ``A``/``b`` are the FULL equality system (sum-to-one row included).
     Requires ``jax_enable_x64`` (raises at trace time otherwise — an f32
@@ -194,10 +272,26 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6):
     x64 = x.astype(f64)
     n = x.shape[0]
     k = H.shape[0]
-    gap0, z = kl_dual_gap(H64, u64, A64, b64, x64,
-                          polish_steps=polish_steps)
     B = jnp.concatenate([H64, A64], axis=0)
     w = jnp.concatenate([u64, b64])
+    if z0 is None:
+        # TPU f64 is EMULATED: exp/log-heavy values carry ~1e-12 relative
+        # error (measured on v5e), far above native-f64 rounding.  The
+        # polish acceptance band must cover it or near-optimal steps get
+        # deterministically rejected and tail instances floor at ~3e-8 gap.
+        on_tpu = jax.devices()[0].platform == "tpu"
+        band = 3e-11 if on_tpu else None
+        gap0, z = kl_dual_gap(H64, u64, A64, b64, x64,
+                              polish_steps=polish_steps,
+                              value_band_eps=band)
+    else:
+        R = jnp.full((n,), 1.0 / (n * np.e), f64)
+        z = _kl_warm_polish(B, w, R, z0.astype(f64), k,
+                            steps=polish_steps)
+        xs = jnp.maximum(x64, jnp.asarray(1e-30, f64))
+        gap0 = (xs @ jnp.log(n * xs)
+                + (w @ z + jnp.sum(R * jnp.exp(-jnp.einsum(
+                    "in,i->n", B, z, precision="highest")))))
     y = jnp.exp(-jnp.einsum("in,i->n", B, z, precision="highest")
                 - 1.0 - jnp.log(jnp.asarray(float(n), f64)))
     x_ref = y / jnp.sum(y)
@@ -357,9 +451,17 @@ class DistKL:
         nan = jnp.asarray(jnp.nan, dtype)
         grad_norm = jnp.linalg.norm(d.grad(z))
         eps = jnp.finfo(dtype).eps
+        # |gap|: an INFEASIBLE problem drives the dual up without bound
+        # (g -> inf is the infeasibility certificate), so the measured gap
+        # goes hugely NEGATIVE — a one-sided gap > tol check would miss
+        # it.  The recovered x's own measured violation catches the cases
+        # the finite-step dual has not yet blown up on.
+        ineq = self._ineq_res(x)
         stalled = jnp.logical_or(
             jnp.logical_not(jnp.all(jnp.isfinite(x))),
-            gap > jnp.sqrt(eps))
+            jnp.logical_not(jnp.logical_and(      # NaN-safe: NaN flags
+                jnp.abs(gap) <= jnp.sqrt(eps),
+                ineq <= jnp.sqrt(eps))))
         return Solution(
             x=x, lam=z[:k], nu=z[k:], newton_decrement=nan,
             duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
@@ -393,53 +495,61 @@ class DistKL:
         from ..ops.pallas_kl_dual import kl_dual_fused
 
         dtype = self.H.dtype
-        # interpret mode off-TPU (Mosaic only lowers for real TPUs); small
-        # tiles keep the interpreter fast
+        # interpret mode off-TPU (Mosaic only lowers for real TPUs).
+        # bt=8 (the f32 min tile): this is the SINGLE-instance entry
+        # (B=1), often vmapped — a bt=256 tile would burn 255/256 of the
+        # kernel work on padding under vmap batching.  The direct batch
+        # entries (bench, solve_certified_batch) call kl_dual_fused
+        # themselves with bt=256.
         on_tpu = jax.devices()[0].platform == "tpu"
-        x, gap = kl_dual_fused(self.H[None], self.u[None],
-                               self.A[None] if m_eq > 0 else None,
-                               self.r[None] if m_eq > 0 else None,
-                               n_steps=steps,
-                               z0=float(pars.dual_start),
-                               interpret=not on_tpu,
-                               bt=256 if on_tpu else 8)
-        x, gap = x[0], gap[0]
+        x, gap, z = kl_dual_fused(self.H[None], self.u[None],
+                                  self.A[None] if m_eq > 0 else None,
+                                  self.r[None] if m_eq > 0 else None,
+                                  n_steps=steps,
+                                  z0=float(pars.dual_start),
+                                  interpret=not on_tpu, bt=8)
+        x, gap, z = x[0], gap[0], z[0]
         nan = jnp.asarray(jnp.nan, dtype)
         eps = jnp.finfo(dtype).eps
         return Solution(
-            x=x, lam=jnp.full((k,), jnp.nan, dtype),
-            nu=jnp.full((1 + m_eq,), jnp.nan, dtype), newton_decrement=nan,
+            x=x, lam=z[:k], nu=z[k:], newton_decrement=nan,
             duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
             norm_grad=nan, norm_dual_residual=nan,
             iters=jnp.asarray(steps), maxed_out=jnp.asarray(False),
             stalled=jnp.logical_or(
                 jnp.logical_not(jnp.all(jnp.isfinite(x))),
-                gap > jnp.sqrt(eps)),
+                jnp.logical_not(jnp.logical_and(  # |.|: infeasible ->
+                    jnp.abs(gap) <= jnp.sqrt(eps),   # -inf; NaN-safe form
+                    self._ineq_res(x) <= jnp.sqrt(eps)))),
             ineq_res=self._ineq_res(x),
         )
 
     def solve_certified(self, pars: SolverParams | None = None,
                         steps: int = 16,
-                        polish_steps: int = 6) -> Solution:
+                        polish_steps: int = 4) -> Solution:
         """F32 fused-kernel dual solve + on-chip f64 finishing pass
         (method="dual_fused_cert"): the TPU route to the reference's
         WRITTEN accuracy contract gap < tolSolver = 1e-8
         (SolverParams.scala:41, BarrierSolver.scala:102).
 
         The f32 Pallas kernel does the heavy lifting; ``kl_certify`` then
-        lifts the iterate to (TPU-emulated) f64, polishes the dual, and
-        returns the refined primal with MEASURED gap / inequality /
-        equality residuals.  Requires ``jax_enable_x64``.
+        lifts the iterate AND the kernel's dual z to (TPU-emulated) f64,
+        runs the lean warm-started Newton polish (active set already
+        settled — 4 steps from the ~1e-6 f32 start land at the emulated-
+        f64 floor), and returns the refined primal with MEASURED gap /
+        inequality / equality residuals.  Requires ``jax_enable_x64``.
         """
         pars = pars or SolverParams()
         sol = self.solve_dual_fused(pars, steps=steps)
         eqs = self.equalities
         cert = kl_certify(self.H, self.u, eqs.A, eqs.b, sol.x,
-                          polish_steps=polish_steps)
+                          polish_steps=polish_steps,
+                          z0=jnp.concatenate([sol.lam, sol.nu]))
         nan = jnp.asarray(jnp.nan, jnp.float64)
         stalled = jnp.logical_or(
             jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
-            cert.gap > pars.tol)
+            jnp.logical_not(jnp.abs(cert.gap) <= pars.tol))  # |.|:
+        # infeasible -> -inf; not-<= form: a NaN gap must flag too
         return Solution(
             x=cert.x, lam=cert.lam, nu=cert.nu, newton_decrement=nan,
             duality_gap=cert.gap, eq_gap=cert.eq_res,
@@ -447,6 +557,72 @@ class DistKL:
             iters=jnp.asarray(steps + polish_steps),
             maxed_out=jnp.asarray(False), stalled=stalled,
             ineq_res=cert.ineq_res,
+        )
+
+    def solve_certified_batch(self, u, r=None,
+                              pars: SolverParams | None = None,
+                              steps: int = 16,
+                              polish_steps: int = 4) -> Solution:
+        """Batched certified solve: per-instance bounds ``u`` (B, k) (and
+        optionally ``r`` (B, mE)) against this problem's SHARED rows.
+
+        The production shape of ``solve_certified``: ONE fused Pallas
+        kernel call over the whole batch (a vmapped per-instance kernel
+        would burn ~bt-fold work on padding), then the cheap XLA f64
+        finishing pass vmapped per instance.  Returns a batched Solution.
+        """
+        pars = pars or SolverParams()
+        from ..ops.pallas_kl_dual import kl_dual_fused
+
+        k = self.H.shape[0]
+        m_eq = self.A.shape[0]
+        B = u.shape[0]
+        dtype = self.H.dtype
+        on_tpu = jax.devices()[0].platform == "tpu"
+        Hb = jnp.broadcast_to(self.H[None], (B, k, self.n))
+        u = jnp.asarray(u, dtype)
+        if m_eq > 0:
+            Ab = jnp.broadcast_to(self.A[None], (B, m_eq, self.n))
+            rb = (jnp.broadcast_to(self.r[None], (B, m_eq))
+                  if r is None else jnp.asarray(r, dtype))
+        else:
+            Ab = rb = None
+        if k + m_eq >= 1 and k + 1 + m_eq <= 5:
+            xs, _, zs = kl_dual_fused(Hb, u, Ab, rb, n_steps=steps,
+                                      z0=float(pars.dual_start),
+                                      interpret=not on_tpu,
+                                      bt=256 if on_tpu else 8)
+        else:
+            def one(ui, ri):
+                prob = DistKL(H=self.H, u=ui, A=self.A, r=ri, n=self.n)
+                s = prob.solve_dual_newton(pars)
+                return s.x, jnp.concatenate([s.lam, s.nu])
+
+            xs, zs = jax.vmap(one)(u, rb if m_eq > 0
+                                   else jnp.zeros((B, 0), dtype))
+
+        eq_A = jnp.concatenate([jnp.ones((1, self.n), dtype), self.A],
+                               axis=0)
+
+        def certify_one(ui, ri, xi, zi):
+            bi = jnp.concatenate([jnp.ones((1,), dtype), ri])
+            cert = kl_certify(self.H, ui, eq_A, bi, xi,
+                              polish_steps=polish_steps, z0=zi)
+            return cert
+
+        rb_ = rb if m_eq > 0 else jnp.zeros((B, 0), dtype)
+        certs = jax.vmap(certify_one)(u, rb_, xs, zs)
+        stalled = jnp.logical_or(
+            jnp.logical_not(jnp.all(jnp.isfinite(certs.x), axis=1)),
+            jnp.logical_not(jnp.abs(certs.gap) <= pars.tol))  # NaN-safe
+        nan = jnp.full((B,), jnp.nan, jnp.float64)
+        return Solution(
+            x=certs.x, lam=certs.lam, nu=certs.nu, newton_decrement=nan,
+            duality_gap=certs.gap, eq_gap=certs.eq_res,
+            norm_grad=nan, norm_dual_residual=nan,
+            iters=jnp.full((B,), steps + polish_steps),
+            maxed_out=jnp.zeros((B,), bool), stalled=stalled,
+            ineq_res=certs.ineq_res,
         )
 
     def solve(self, method: str = "dual", pars: SolverParams | None = None,

@@ -112,7 +112,7 @@ def _solve_small(m, gf, dim, dtype):
     return dz
 
 
-def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
+def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, z_ref, *, n: int, k: int,
                     m_eq: int, n_valid: int, n_steps: int, z0: float,
                     n_ls: int, eps: float):
     bs = hs_ref[...]                                 # (bt, k + m_eq, n)
@@ -330,6 +330,9 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, *, n: int, k: int,
     logx = jnp.log(jnp.where(valid > 0, jnp.where(x > 0, x, 1.0), 1.0))
     f_primal = rsum(x * (log_nv + logx))
     gap_ref[...] = f_primal + val_of(z, y)
+    # the dual iterate itself: the f64 finishing pass (models/dist_kl.py
+    # kl_certify) warm-starts from it with the active set already settled
+    z_ref[...] = jnp.concatenate(z, axis=1)
 
 
 @functools.partial(
@@ -349,9 +352,11 @@ def kl_dual_fused(
 ):
     """Solve a batch of KL duals entirely inside one Pallas kernel.
 
-    Returns ``(x, gap)``: the recovered primal distributions (B, n) and the
-    MEASURED per-instance duality-gap certificate f(x) - g(z) (valid upper
-    bound on suboptimality for the dual-feasible z the kernel ends at).
+    Returns ``(x, gap, z)``: the recovered primal distributions (B, n),
+    the MEASURED per-instance duality-gap certificate f(x) - g(z) (valid
+    upper bound on suboptimality for the dual-feasible z the kernel ends
+    at), and the dual iterate z (B, k + 1 + m_eq) itself — the f64
+    finishing pass warm-starts from it.
     Constraint set: Hs x <= u (k >= 0 rows), sum-to-one, and A x = r
     (m_eq >= 0 extra equality rows); dual dim = k + 1 + m_eq <= 5.  Use
     DistKL.solve(method='dual_fast') for larger shapes.
@@ -399,20 +404,23 @@ def _kl_dual_fused_x32(Hs, u, A, r, *, n_steps, z0, n_ls, bt, interpret):
         rhs_p = rhs_p.at[:B, k:].set(r)
 
     grid = (bpad // bt,)
+    dim = k + 1 + m_eq
     kern = functools.partial(
         _kl_dual_kernel, n=npad, k=k, m_eq=m_eq, n_valid=n, n_steps=n_steps,
         z0=z0, n_ls=n_ls, eps=float(jnp.finfo(dtype).eps))
-    x, gap = pl.pallas_call(
+    x, gap, z = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((bpad, npad), dtype),
-                   jax.ShapeDtypeStruct((bpad, 1), dtype)),
+                   jax.ShapeDtypeStruct((bpad, 1), dtype),
+                   jax.ShapeDtypeStruct((bpad, dim), dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, k + m_eq, npad), lambda i: (i, 0, 0)),
             pl.BlockSpec((bt, k + m_eq), lambda i: (i, 0)),
         ],
         out_specs=(pl.BlockSpec((bt, npad), lambda i: (i, 0)),
-                   pl.BlockSpec((bt, 1), lambda i: (i, 0))),
+                   pl.BlockSpec((bt, 1), lambda i: (i, 0)),
+                   pl.BlockSpec((bt, dim), lambda i: (i, 0))),
         interpret=interpret,
     )(rows_p, rhs_p)
-    return x[:B, :n], gap[:B, 0]
+    return x[:B, :n], gap[:B, 0], z[:B]

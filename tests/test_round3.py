@@ -62,6 +62,61 @@ class TestCertified1e8:
         assert np.asarray(sols.eq_gap).max() <= 1e-10
         assert not np.asarray(sols.stalled).any()
 
+    def test_batched_certified_entry(self):
+        """solve_certified_batch: one kernel call over the batch (a vmapped
+        per-instance kernel burns ~bt-fold padding work), then the vmapped
+        f64 finish — the production certified shape."""
+        n = 100
+        H = _scenario(n)
+        prob = DistKL.create(n, H=H, u=jnp.zeros((2,), jnp.float32),
+                             dtype=jnp.float32)
+        pA = jnp.linspace(0.05, 0.5, 64)
+        pB = jnp.linspace(0.45, 0.95, 64)
+        u = jnp.stack([-pA, pB], axis=1).astype(jnp.float32)
+        s = jax.jit(prob.solve_certified_batch)(u)
+        g = np.asarray(s.duality_gap)
+        assert g.max() <= 1e-8 and g.min() >= -1e-12
+        assert np.asarray(s.ineq_res).max() <= 1e-10
+        assert not np.asarray(s.stalled).any()
+
+    def test_batched_certified_with_equalities(self):
+        n = 100
+        H = _scenario(n)
+        A = jnp.asarray(np.linspace(0.2, 0.8, n)[None], jnp.float32)
+        prob = DistKL.create(n, H=H, u=jnp.zeros((2,), jnp.float32),
+                             A=A, r=jnp.asarray([0.5], jnp.float32),
+                             dtype=jnp.float32)
+        pA = jnp.linspace(0.05, 0.35, 32)
+        pB = jnp.linspace(0.45, 0.95, 32)
+        u = jnp.stack([-pA, pB], axis=1).astype(jnp.float32)
+        r = jnp.linspace(0.44, 0.50, 32)[:, None].astype(jnp.float32)
+        s = jax.jit(prob.solve_certified_batch)(u, r)
+        assert np.asarray(s.duality_gap).max() <= 1e-8
+        assert not np.asarray(s.stalled).any()
+
+    def test_infeasible_instances_are_flagged(self):
+        """An INFEASIBLE instance drives the dual up without bound, so the
+        measured gap goes hugely NEGATIVE — the two-sided |gap| stall
+        check must flag it (a one-sided gap > tol check missed it)."""
+        n = 100
+        H = _scenario(n)
+        A = jnp.asarray(np.linspace(0.2, 0.8, n)[None], jnp.float32)
+        prob = DistKL.create(n, H=H, u=jnp.zeros((2,), jnp.float32),
+                             A=A, r=jnp.asarray([0.5], jnp.float32),
+                             dtype=jnp.float32)
+        # unreachable: with P(A) >= 0.4 pinned at A-values ~0.2, max A.x
+        # is ~0.56 < 0.75
+        u_bad = jnp.tile(jnp.asarray([[-0.4, 0.85]], jnp.float32), (4, 1))
+        r_bad = jnp.full((4, 1), 0.75, jnp.float32)
+        s = jax.jit(prob.solve_certified_batch)(u_bad, r_bad)
+        assert np.asarray(s.stalled).all()
+        # the raw f32 dual routes flag it too
+        prob_bad = DistKL.create(
+            n, H=H, u=jnp.asarray([-0.4, 0.85], jnp.float32), A=A,
+            r=jnp.asarray([0.75], jnp.float32), dtype=jnp.float32)
+        for method in ("dual_fast", "dual_fused"):
+            assert bool(prob_bad.solve(method=method).stalled), method
+
     def test_certify_rejects_infeasible_input(self):
         """kl_certify must not report a spuriously negative gap for an
         INFEASIBLE input iterate (f(x) < p* when x violates an active
