@@ -14,7 +14,8 @@ from .objective import (AffineObjective, CustomObjective, LinearObjective,
                         QuadraticObjective, affine_pullback, norm_squared,
                         p_norm_p, power_objective, quadratic_residual,
                         regularized_equation_residual)
-from .sets import Domain, positive_orthant, whole_space
+from .sets import (Domain, cartesian_product, positive_orthant,
+                   strictly_feasible_set, whole_space)
 
 __all__ = [
     "ConstraintSet", "LinearBlock", "NonlinearBlock", "QuadBlock",
@@ -24,6 +25,6 @@ __all__ = [
     "expectation_eq", "sum_to_one", "AffineObjective", "CustomObjective",
     "LinearObjective", "QuadraticObjective", "affine_pullback",
     "norm_squared", "p_norm_p", "power_objective", "quadratic_residual",
-    "regularized_equation_residual", "Domain", "positive_orthant",
-    "whole_space",
+    "regularized_equation_residual", "Domain", "cartesian_product",
+    "positive_orthant", "strictly_feasible_set", "whole_space",
 ]
