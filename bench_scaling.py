@@ -245,14 +245,14 @@ def qp_n1000(records, dtype):
 
     n, m, p = 1000, 500, 10
     ks = jax.random.split(jax.random.PRNGKey(2), 5)
-    M = jax.random.normal(ks[0], (n, n), dtype) / np.sqrt(n)
+    M = jax.random.normal(ks[0], (n, n), dtype) / float(np.sqrt(n))
     P = M @ M.T + jnp.eye(n, dtype=dtype)
     z = jax.random.normal(ks[1], (n,), dtype)
     obj = QuadraticObjective(P=P, a=-(P @ z),
                              r=jnp.asarray(0.5 * z @ (P @ z), dtype))
-    G = jax.random.normal(ks[2], (m, n), dtype) / np.sqrt(n)
+    G = jax.random.normal(ks[2], (m, n), dtype) / float(np.sqrt(n))
     ub = jax.random.uniform(ks[3], (m,), dtype, 0.5, 1.5)  # x0=0 feasible
-    A = jax.random.normal(ks[4], (p, n), dtype) / np.sqrt(n)
+    A = jax.random.normal(ks[4], (p, n), dtype) / float(np.sqrt(n))
     b = jnp.zeros((p,), dtype)                             # x0=0 on Ax=b
     cnts = ConstraintSet(blocks=(LinearBlock(
         G=G, c=jnp.zeros((m,), dtype), ub=ub),))
@@ -292,13 +292,13 @@ def separable_config5(records, dtype):
     K, nb, mb, p = 64, 156, 32, 8
     ks = jax.random.split(jax.random.PRNGKey(5), 4)
     eye = jnp.eye(nb, dtype=dtype)
-    M = jax.random.normal(ks[0], (K, nb, nb), dtype) / np.sqrt(nb)
+    M = jax.random.normal(ks[0], (K, nb, nb), dtype) / float(np.sqrt(nb))
     P = jnp.einsum("kij,klj->kil", M, M) + eye[None]
     a = jax.random.normal(ks[1], (K, nb), dtype)
     G = jnp.tile(jnp.concatenate([eye, -eye], axis=0)[None],
                  (K, 1, 1))[:, :mb]
     u = jnp.full((K, mb), 10.0, dtype)
-    C = jax.random.normal(ks[2], (K, p, nb), dtype) / np.sqrt(nb)
+    C = jax.random.normal(ks[2], (K, p, nb), dtype) / float(np.sqrt(nb))
     c = 0.1 * jax.random.normal(ks[3], (p,), dtype)
     prob = SeparableProblem(P=P, a=a, G=G, u=u, C=C, c=c)
     pars = SolverParams(tol=1e-7, mu=20.0, max_iter=12)
@@ -336,9 +336,9 @@ def kkt_factorizations(records, dtype):
     for n in (1024, 2048, 4096, 8192):
         p = 16
         ks = jax.random.split(jax.random.PRNGKey(n), 3)
-        M = jax.random.normal(ks[0], (n, n), dtype) / np.sqrt(n)
+        M = jax.random.normal(ks[0], (n, n), dtype) / float(np.sqrt(n))
         H = M @ M.T + 2.0 * jnp.eye(n, dtype=dtype)
-        A = jax.random.normal(ks[1], (p, n), dtype) / np.sqrt(n)
+        A = jax.random.normal(ks[1], (p, n), dtype) / float(np.sqrt(n))
         q = jax.random.normal(ks[2], (n,), dtype)
         b = jnp.zeros((p,), dtype)
         reps = 5

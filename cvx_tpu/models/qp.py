@@ -45,7 +45,12 @@ class QP:
     @classmethod
     def create(cls, P, a, G=None, h=None, A=None, b=None,
                dtype=None) -> "QP":
-        dtype = dtype or jnp.result_type(float)
+        # default to the INPUT arrays' joint dtype (f32 data stays f32 even
+        # under jax_enable_x64) — a canonical-float default would silently
+        # upcast and then clash with a same-precision x0 at trace time
+        if dtype is None:
+            given = [v for v in (P, a, G, h, A, b) if v is not None]
+            dtype = jnp.result_type(*given, float)
         P = jnp.asarray(P, dtype)
         a = jnp.asarray(a, dtype)
         n = a.shape[-1]
@@ -187,7 +192,9 @@ def LP(a, U=None, ub=None, A=None, b=None, dtype=None) -> DiagQP:
     diag(1/x^2) + low-rank, so LPs get the same O(n (k+p)^2) Newton steps
     (the reference's zero-Hessian LP escape hatch, KKTSystem.scala:55-59,
     becomes a fast path instead of a fallback)."""
-    dtype = dtype or jnp.result_type(float)
+    if dtype is None:  # follow the inputs, not the canonical float (see QP)
+        given = [v for v in (a, U, ub, A, b) if v is not None]
+        dtype = jnp.result_type(*given, float)
     a = jnp.asarray(a, dtype)
     n = a.shape[-1]
     U = jnp.zeros((0, n), dtype) if U is None else jnp.asarray(U, dtype)

@@ -240,7 +240,24 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, z_ref, *, n: int, k: int,
             tj = jnp.where(dz[j] < 0, -z[j] / jnp.where(dz[j] < 0, dz[j],
                                                         -1.0), jnp.inf)
             t_bd = jnp.minimum(t_bd, tj)
-        t_full = jnp.clip(t_bd, 0.0, 1.0)
+        # far-field trust cap: on a COLD start (z ~ 0, optimum at
+        # lam* = O(log n)) the exp-linear dual is locally near-linear in a
+        # climbing lam, so the Newton step is O(grad/hess) = O(100+) —
+        # and the n_ls halvings of such a step are ALL oversized (the
+        # deepest candidate is t_full/2^(n_ls-1)), so the iterate crawls.
+        # Capping the step at L_TRUST per coordinate turns the far phase
+        # into log-scale progress of up to L_TRUST per step (the optimum
+        # moves multiplicatively in y = exp(-B'z)); near the optimum
+        # ||dz|| << L_TRUST and the cap is inactive, so quadratic
+        # convergence is untouched.  Fixes the n >= 1000 extreme-
+        # concentration instances (lam* ~ 8) that 16 steps previously
+        # could not reach from z0 = 1e-3.
+        dz_inf = jnp.zeros((bt, 1), dtype)
+        for j in range(dim):
+            dz_inf = jnp.maximum(dz_inf, jnp.abs(dz[j]))
+        l_trust = jnp.asarray(8.0, dtype)
+        t_trust = l_trust / jnp.maximum(dz_inf, l_trust)  # min(1, L/||dz||)
+        t_full = jnp.minimum(jnp.clip(t_bd, 0.0, 1.0), t_trust)
 
         # candidates are halvings of t_full along the ray:
         #   y(z + t dz) = y(z) * exp(-t (B'dz)),  and halving t takes a

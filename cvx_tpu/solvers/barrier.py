@@ -48,6 +48,11 @@ def barrier_solve(
     """
     pars = pars or SolverParams()
     m = cnts.m
+    # promote the iterate to the joint dtype with the constraint data (see
+    # primal_dual_solve — mixed f32/f64 inputs must follow JAX promotion,
+    # not crash the while_loop carry type check)
+    x0 = x0.astype(jnp.result_type(
+        x0.dtype, jax.eval_shape(cnts.residual, x0).dtype))
     dtype = x0.dtype
     # dtype-aware equality tolerance: ||Ax-b|| has a floor of ~eps * scale,
     # so an absolute 1e-8 can never fire in float32 — without this, t grows

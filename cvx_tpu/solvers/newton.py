@@ -53,7 +53,10 @@ def _backtrack(value_fn, in_set, x, d, f0, q, pars, require_armijo=True):
     """
     kk = jnp.arange(pars.ls_max_steps)
     expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(x.dtype)
-    ts = pars.beta ** expo
+    # under jax_enable_x64 the pars scalar LEAVES canonicalize to f64, so
+    # beta ** expo would promote the step (and then the iterate) to f64 —
+    # pin everything step-shaped to the iterate dtype
+    ts = (pars.beta ** expo).astype(x.dtype)
 
     def acceptable(t):
         xt = x + t * d
@@ -114,6 +117,7 @@ def newton_minimize(
         d, _ = sym_solve(H, -g, method=pars.kkt_method,
                          refine=pars.kkt_refine, delta=pars.chol_delta,
                          tol=pars.tol_eq_solve)
+        d = d.astype(x.dtype)  # f64 pars leaves must not promote the carry
         q = d @ g
         dec = -q / 2.0
 
@@ -187,6 +191,7 @@ def newton_minimize_eq(
         d, _, _ = kkt_solve(H, A, g, eq_diff, method=pars.kkt_method,
                             refine=pars.kkt_refine, delta=pars.chol_delta,
                             tol=pars.tol_eq_solve)
+        d = d.astype(x.dtype)  # f64 pars leaves must not promote the carry
         q = d @ g
         dec = -q / 2.0
         eq_err0 = jnp.linalg.norm(eq_diff)
@@ -204,7 +209,7 @@ def newton_minimize_eq(
         def do_step(_):
             kk = jnp.arange(pars.ls_max_steps)
             expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(x.dtype)
-            ts = pars.beta ** expo
+            ts = (pars.beta ** expo).astype(x.dtype)  # see _backtrack
 
             def acceptable(t):
                 xt = x + t * d

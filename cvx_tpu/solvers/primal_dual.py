@@ -62,12 +62,25 @@ def primal_dual_solve(
     """
     pars = pars or SolverParams()
     m = cnts.m
+    # follow JAX promotion semantics for mixed-precision inputs: an f32 x0
+    # against f64 constraint data computes in f64 (the residual dtype), so
+    # promote the iterate up front — otherwise the while_loop carry mixes
+    # dtypes and trips the trace-time type check
+    x0 = x0.astype(jnp.result_type(
+        x0.dtype, jax.eval_shape(cnts.residual, x0).dtype))
     dtype = x0.dtype
     nan = jnp.asarray(jnp.nan, dtype)
     has_eqs = eqs is not None
     p = eqs.p if has_eqs else 0
-    # max backtracking steps: beta^k < 1e-13  (PrimalDualSolver.scala:354)
-    ls_max = int(-30.0 / jnp.log(pars.beta)) + 1
+    # max backtracking steps: beta^k < 1e-13  (PrimalDualSolver.scala:354).
+    # ls_max shapes the trace, so it needs a CONCRETE beta; when pars cross
+    # a jit boundary as an argument the float leaves are tracers — fall
+    # back to the static ls_max_steps (its compressed-exponent schedule
+    # reaches beta^125 ~ 7e-13 at the default beta, same coverage).
+    try:
+        ls_max = int(-30.0 / float(jnp.log(pars.beta))) + 1
+    except jax.errors.ConcretizationTypeError:
+        ls_max = pars.ls_max_steps
 
     if criterion is None:
         # dtype-aware floors: residual norms bottom out at ~eps * scale, so
@@ -126,6 +139,10 @@ def primal_dual_solve(
                               refine=pars.kkt_refine, delta=pars.chol_delta,
                               tol=pars.tol_eq_solve)
             dnu = jnp.zeros((0,), dtype)
+        # f64 pars leaves (chol_delta under jax_enable_x64) must not
+        # promote the carry through the step
+        dx = dx.astype(dtype)
+        dnu = dnu.astype(dtype)
 
         # delta-lambda back-substitution
         r_cent = -lam * f - 1.0 / t
@@ -150,7 +167,7 @@ def primal_dual_solve(
 
         _kk = jnp.arange(ls_max)
         _expo = jnp.where(_kk < 32, _kk, 32 + 3 * (_kk - 32)).astype(dtype)
-        ss = s0 * pars.beta ** _expo
+        ss = (s0 * pars.beta ** _expo).astype(dtype)
         accepts = jax.vmap(accept)(ss)
         # true select + finiteness guard: with s = 0 and a non-finite Newton
         # direction, x + s * dx would be NaN (0 * inf)

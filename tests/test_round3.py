@@ -623,3 +623,125 @@ class TestConvexSetSurface:
         assert np.allclose(z + F @ u0, np.asarray(C.sample) * 0
                            + np.asarray([1 / 3, 1 / 3, 0.5]), atol=1e-6)
         assert bool(P.contains(jnp.asarray(u0)))
+
+
+class TestColdStartTrustCap:
+    """The fused dual kernel's far-field trust cap: a cold start on an
+    extreme-concentration instance (few atoms carrying large mass, so the
+    optimal multiplier is lam* ~ log n) must converge within the default
+    16 Newton steps.  Without the cap the Newton direction from z ~ 0 is
+    O(grad/hess) = O(100+) and all line-search halvings overshoot — the
+    n >= 1000 rows of the scaling ladder regressed exactly this way."""
+
+    @pytest.mark.parametrize("n", [1000, 4000])
+    def test_extreme_concentration_converges(self, n):
+        from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
+        # the bench_scaling family: nA = 3 atoms forced to carry pA ~ 0.5
+        nA = 3
+        IA = np.zeros(n); IA[:nA] = 1.0
+        IB = np.zeros(n); IB[n // 2:] = 1.0
+        H = jnp.asarray(np.stack([-IA, IB]), jnp.float32)
+        u = jnp.asarray([-0.5, 0.8], jnp.float32)   # P(A) >= 0.5: lam* ~ 6
+        xs, gaps, _ = kl_dual_fused(H[None], u[None], n_steps=16,
+                                    interpret=True, bt=8)
+        assert float(gaps[0]) < 5e-5, float(gaps[0])
+        assert abs(float(jnp.sum(xs[0])) - 1.0) < 1e-5
+
+    def test_warm_region_unaffected(self):
+        """Near-feasible instances (small lam*) keep their f32-floor gap —
+        the cap must be inactive when ||dz|| is already small."""
+        from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
+        H = _scenario(100)
+        u = jnp.asarray([-0.3, 0.8], jnp.float32)
+        xs, gaps, _ = kl_dual_fused(H[None], u[None], n_steps=16,
+                                    interpret=True, bt=8)
+        assert float(gaps[0]) < 5e-6, float(gaps[0])
+
+
+class TestF32ImmuneToF64ParsLeaves:
+    """Under jax_enable_x64, SolverParams float leaves canonicalize to f64
+    when the params cross a jit boundary as an ARGUMENT; the f32 solver
+    paths must pin step/iterate dtypes so the while_loop carries stay f32
+    (otherwise: carry dtype mismatch at trace time)."""
+
+    def _small_qp(self, dtype=jnp.float32):
+        from cvx_tpu.models.qp import QP
+        rng = np.random.default_rng(0)
+        n, m = 8, 16
+        M = rng.standard_normal((n, n))
+        P = (M @ M.T + n * np.eye(n)).astype(np.float32)
+        a = rng.standard_normal(n).astype(np.float32)
+        G = rng.standard_normal((m, n)).astype(np.float32)
+        h = (np.abs(rng.standard_normal(m)) + 1.0).astype(np.float32)
+        A = rng.standard_normal((2, n)).astype(np.float32)
+        x_feas = (np.ones(n) / n).astype(np.float32)
+        b = (A @ x_feas).astype(np.float32)
+        qp = QP.create(P, a, G, h, A, b, dtype=dtype)
+        return qp, jnp.asarray(x_feas, dtype)
+
+    @pytest.mark.parametrize("method", ["BR", "PD"])
+    def test_qp_solve_f32_with_traced_pars(self, method):
+        assert jax.config.jax_enable_x64  # conftest turns this on
+        qp, x_feas = self._small_qp()
+        pars = SolverParams(kkt_method="chol", kkt_refine=1, tol=1e-6)
+
+        @jax.jit
+        def run(pars):
+            return qp.solve_jittable(x_feas, method, pars)
+
+        sol = run(pars)   # must not raise a carry-dtype mismatch
+        assert sol.x.dtype == jnp.float32
+        assert float(sol.duality_gap) < 1e-4
+
+
+class TestDtypeFollowsInputs:
+    """QP.create / LP with no explicit dtype must follow the INPUT arrays'
+    dtype — under jax_enable_x64 the old canonical-float default silently
+    upcast f32 data to f64 and then an f32 x0 tripped the while_loop carry
+    type check mid-trace (found by the round-3 verify drive)."""
+
+    def _f32_parts(self):
+        from cvx_tpu.models.qp import QP
+        rng = np.random.default_rng(1)
+        n, m = 8, 16
+        M = rng.standard_normal((n, n))
+        P = (M @ M.T + n * np.eye(n)).astype(np.float32)
+        a = rng.standard_normal(n).astype(np.float32)
+        G = rng.standard_normal((m, n)).astype(np.float32)
+        h = (np.abs(rng.standard_normal(m)) + 1.0).astype(np.float32)
+        return QP.create(P, a, G, h)   # NO dtype kwarg
+
+    @pytest.mark.parametrize("method", ["BR", "PD"])
+    def test_qp_create_keeps_f32(self, method):
+        assert jax.config.jax_enable_x64
+        qp = self._f32_parts()
+        assert qp.P.dtype == jnp.float32     # followed the inputs
+        sol = qp.solve_jittable(jnp.zeros((8,), jnp.float32), method,
+                                SolverParams(kkt_method="chol", tol=1e-6))
+        assert sol.x.dtype == jnp.float32
+        assert float(sol.duality_gap) < 1e-3
+
+    def test_lp_follows_inputs(self):
+        from cvx_tpu.models.qp import LP
+        lp = LP(np.ones(4, np.float32), A=np.ones((1, 4), np.float32),
+                b=np.ones(1, np.float32))
+        assert lp.a.dtype == jnp.float32
+        lp64 = LP(np.ones(4))   # f64 input stays f64 under x64
+        assert lp64.a.dtype == jnp.float64
+
+    @pytest.mark.parametrize("method", ["BR", "PD"])
+    def test_mixed_f32_x0_f64_data_promotes(self, method):
+        """An f32 x0 against f64 problem data follows JAX promotion (the
+        solve runs in f64) instead of crashing the carry type check."""
+        from cvx_tpu.models.qp import QP
+        rng = np.random.default_rng(2)
+        n, m = 6, 10
+        M = rng.standard_normal((n, n))
+        qp = QP.create(M @ M.T + n * np.eye(n), rng.standard_normal(n),
+                       rng.standard_normal((m, n)),
+                       np.abs(rng.standard_normal(m)) + 1.0)
+        assert qp.P.dtype == jnp.float64
+        sol = qp.solve_jittable(jnp.zeros((n,), jnp.float32), method,
+                                SolverParams(kkt_method="chol"))
+        assert sol.x.dtype == jnp.float64
+        assert float(sol.duality_gap) < 1e-7
