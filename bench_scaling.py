@@ -398,8 +398,9 @@ def main():
         with open("BENCH_SCALING.json") as f:
             existing = json.load(f)
     seen = {r["metric"] for r in records if "metric" in r}
-    merged = [r for r in existing
-              if r.get("metric") not in seen] + records
+    kept = [r for r in existing
+            if "metric" in r and r["metric"] not in seen]
+    merged = records[:1] + kept + records[1:]  # one header, then metrics
     with open("BENCH_SCALING.json", "w") as f:
         json.dump(merged, f, indent=1)
     log(f"wrote BENCH_SCALING.json ({len(merged)} records)")
