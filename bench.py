@@ -107,7 +107,11 @@ def main():
         # whole dual solve in ONE Pallas kernel (ops/pallas_kl_dual.py)
         from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
 
-        steps = int(os.environ.get("BENCH_DUAL_STEPS", 16))
+        # 12 steps: a TPU sweep (8/10/12/14/16/20) showed the measured
+        # certificate is FLOOR-limited at ~3.6e-6 from 8 steps up (median
+        # ~-1e-8, i.e. converged); 12 keeps 2+ steps of margin over the
+        # flagship distribution while saving ~1.5 ms vs the old 16.
+        steps = int(os.environ.get("BENCH_DUAL_STEPS", 12))
         Hb = jnp.tile(H[None], (batch, 1, 1))
 
         def vsolve(pA, pB):

@@ -133,10 +133,20 @@ def _extract_structured_rows(constraints: ConstraintSet):
             raise ValueError(
                 "BR_fast needs all-linear constraints; found "
                 f"{type(blk).__name__} (use method='BR')")
+        if any(isinstance(a, jax.core.Tracer)
+               for a in (blk.G, blk.c, blk.ub)):
+            raise ValueError(
+                "BR_fast dispatch classifies constraint blocks on the host "
+                "and cannot inspect traced (jit/vmap) data; call "
+                "solvers.structured.barrier_solve_structured directly with "
+                "the rows split out, or use method='BR'")
+        # recognize the positivity block (-I) x <= 0 without materializing
+        # a dense identity: n nonzeros, all on the diagonal and equal -1,
+        # IS -eye(n) (O(n^2) read-only scan, no O(n^2) allocation)
         G_np = np.asarray(blk.G)
-        off_np = np.asarray(blk.ub - blk.c)
-        if (blk.m == n and np.array_equal(G_np, -np.eye(n))
-                and np.all(off_np == 0.0)):
+        if (blk.m == n and np.count_nonzero(G_np) == n
+                and bool(np.all(np.diagonal(G_np) == -1.0))
+                and not np.any(np.asarray(blk.ub - blk.c))):
             saw_positivity = True
             continue
         rows.append(blk.G)

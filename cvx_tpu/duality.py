@@ -37,7 +37,11 @@ def _small_solve(A: jax.Array, b: jax.Array) -> jax.Array:
     scalar Cholesky (straight-line code, vectorizes cleanly under vmap);
     only dim > 8 falls back to LU.  Callers (the dual Newton systems) are
     SPD by construction: B diag(y) B' + ridge with unit rows for frozen
-    coordinates.
+    coordinates, so dim > 8 uses Cholesky + triangular solves — unlike LU
+    these decompose to basic XLA ops on TPU and therefore work under
+    emulated f64 (LuDecomposition is f32-only on that backend, so a
+    jnp.linalg.solve fallback would fail to COMPILE on the certified
+    route's dim > 8 branch).
     """
     dim = A.shape[0]
     if dim == 1:
@@ -93,7 +97,10 @@ def _small_solve(A: jax.Array, b: jax.Array) -> jax.Array:
                 s = s - L[(p, i)] * x[p]
             x[i] = s / L[(i, i)]
         return jnp.stack(x)
-    return jnp.linalg.solve(A, b)
+    tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+    Lc = jnp.linalg.cholesky(A + tiny * jnp.eye(dim, dtype=A.dtype))
+    yv = jax.scipy.linalg.solve_triangular(Lc, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(Lc.T, yv, lower=False)
 
 
 def _polish_dual(obj: Any, z: jax.Array, num_ineq: int,

@@ -319,7 +319,13 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None):
     # scaled.
     score_ref = jnp.maximum(gap_ref, 0.0) + viol_ref + eq_ref
     score_in = jnp.maximum(gap0, 0.0) + viol_in + eq_in
-    better = jnp.logical_and(jnp.isfinite(score_ref), score_ref <= score_in)
+    # a non-finite input score (NaN x from an underflowed f32 lane) must
+    # LOSE to any finite refinement — NaN comparisons are False, so the
+    # <= test alone would keep the broken input
+    better = jnp.logical_and(
+        jnp.isfinite(score_ref),
+        jnp.logical_or(score_ref <= score_in,
+                       jnp.logical_not(jnp.isfinite(score_in))))
     x_out = jnp.where(better, x_ref, x64)
     gap = jnp.where(better, gap_ref, gap0)
     viol = jnp.where(better, viol_ref, viol_in)

@@ -379,6 +379,9 @@ def kl_dual_fused(
     DistKL.solve(method='dual_fast') for larger shapes.
     """
     B, k, n = Hs.shape
+    if (A is None) != (r is None):
+        raise ValueError("kl_dual_fused: A and r must be given together "
+                         "(extra equality rows A x = r)")
     if A is None:
         A = jnp.zeros((B, 0, n), Hs.dtype)
         r = jnp.zeros((B, 0), Hs.dtype)

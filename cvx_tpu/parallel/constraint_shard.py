@@ -247,10 +247,19 @@ def _check_shardable(cnts, n_dev: int):
             raise ValueError(
                 f"block with m={b.m} rows not divisible by mesh axis size "
                 f"{n_dev}")
-    if jax.tree_util.tree_leaves(cnts.domain):
+    from ..problem.sets import _always_true
+
+    if cnts.domain.fn is not _always_true:
+        # the sharded line searches test only the local-row margins; a
+        # nontrivial domain.contains would be silently skipped (breaking
+        # sharded == local parity), so reject by PREDICATE — a leaf count
+        # would both miss parameter-free predicates (positive_orthant) and
+        # spuriously reject whole_space(dim), whose interior sample is an
+        # array leaf with no constraint axis
         raise ValueError(
-            "m-sharding expects a parameter-free domain (whole_space): "
-            "domain arrays have no constraint axis to shard")
+            "m-sharding supports only the trivial whole-space domain: the "
+            "sharded line searches check constraint margins only, so a "
+            "nontrivial domain membership test cannot be enforced")
 
 
 def _cnts_specs(cnts, axis: str):

@@ -151,11 +151,16 @@ def strictly_feasible_set(cnts, feasible_point=None) -> Domain:
     def fn(params, x):
         return params.satisfied_strictly(x)
 
-    if feasible_point is not None and not isinstance(
-            feasible_point, jax.core.Tracer):
-        ok = cnts.satisfied_strictly(jnp.asarray(feasible_point))
-        if not isinstance(ok, jax.core.Tracer) and not bool(ok):
-            raise ValueError(
-                "strictly_feasible_set: feasible point does not satisfy "
-                "all constraints strictly")
-    return Domain(fn=fn, params=cnts, sample=feasible_point)
+    sample = None
+    if feasible_point is not None:
+        # store as an array: a raw list/numpy sample would crash lift()/
+        # affine_pullback() (no .dtype) and a list would flatten into many
+        # pytree leaves, changing the Domain tree structure
+        sample = jnp.asarray(feasible_point)
+        if not isinstance(sample, jax.core.Tracer):
+            ok = cnts.satisfied_strictly(sample)
+            if not isinstance(ok, jax.core.Tracer) and not bool(ok):
+                raise ValueError(
+                    "strictly_feasible_set: feasible point does not satisfy "
+                    "all constraints strictly")
+    return Domain(fn=fn, params=cnts, sample=sample)

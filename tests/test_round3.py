@@ -745,3 +745,103 @@ class TestDtypeFollowsInputs:
                                 SolverParams(kkt_method="chol"))
         assert sol.x.dtype == jnp.float64
         assert float(sol.duality_gap) < 1e-7
+
+
+class TestSelfReviewFixes:
+    """Regressions for the round-3 self-review findings."""
+
+    def test_certify_rescues_nan_input(self):
+        """A NaN input iterate must LOSE to the finite refined primal —
+        NaN comparisons are False, so score_ref <= score_in alone would
+        keep the broken input and return a NaN gap."""
+        n, k = 16, 1
+        H = jnp.zeros((k, n), jnp.float64).at[0, :4].set(-1.0)
+        u = jnp.asarray([-0.3])
+        A = jnp.ones((1, n), jnp.float64)
+        b = jnp.ones((1,), jnp.float64)
+        x_nan = jnp.full((n,), jnp.nan, jnp.float64)
+        z0 = jnp.asarray([1.0, 0.0], jnp.float64)
+        cert = kl_certify(H, u, A, b, x_nan, z0=z0, polish_steps=8)
+        assert bool(jnp.all(jnp.isfinite(cert.x)))
+        assert float(cert.gap) < 1e-8
+        assert float(cert.ineq_res) < 1e-8
+
+    def test_certified_batch_dim_over_8(self):
+        """k = 9 inequality rows (dual dim 11): the certified route's
+        dim > 5 branch reaches _small_solve above the unrolled-Cholesky
+        cutoff, which must use a TPU-f64-compatible Cholesky solve (LU
+        does not lower in f64 on that backend) and still certify 1e-8."""
+        n, k, B = 24, 9, 4
+        rng = np.random.default_rng(5)
+        rows = np.zeros((k, n))
+        for i in range(k):
+            rows[i, rng.choice(n, 4, replace=False)] = 1.0
+        H = jnp.asarray(rows)
+        prob = DistKL.create(n, H=H, u=jnp.full((k,), 0.9))
+        u = jnp.asarray(0.3 + 0.25 * rng.random((B, k)))
+        sol = prob.solve_certified_batch(u)
+        assert bool(jnp.all(jnp.isfinite(sol.x)))
+        assert float(jnp.max(jnp.abs(sol.duality_gap))) < 1e-8
+        assert not bool(jnp.any(sol.stalled))
+
+    def test_msharded_rejects_positive_orthant_domain(self):
+        """positive_orthant() is parameter-free yet nontrivial: the m-shard
+        guard must reject it by PREDICATE (the sharded line search checks
+        margins only), and must ACCEPT whole_space(dim) whose sample leaf
+        carries no constraint axis."""
+        from cvx_tpu.parallel.constraint_shard import _check_shardable
+        from cvx_tpu.problem.constraint_set import ConstraintSet
+        from cvx_tpu.problem.constraints import LinearBlock
+        from cvx_tpu.problem.sets import positive_orthant, whole_space
+        n, m = 4, 8
+        blk = LinearBlock(G=jnp.ones((m, n)), c=jnp.zeros((m,)),
+                          ub=jnp.ones((m,)))
+        bad = ConstraintSet(blocks=(blk,), domain=positive_orthant())
+        with pytest.raises(ValueError, match="whole-space"):
+            _check_shardable(bad, 2)
+        ok = ConstraintSet(blocks=(blk,), domain=whole_space(n))
+        _check_shardable(ok, 2)   # must not raise
+
+    def test_structured_dispatch_no_eye_and_traced_error(self):
+        """Positivity recognition is structural (no dense eye): a diagonal
+        -I block with nonzero offsets must NOT be eaten as positivity, and
+        traced block data raises a clear ValueError instead of a
+        TracerArrayConversionError."""
+        from cvx_tpu.api import _extract_structured_rows
+        from cvx_tpu.problem.constraint_set import ConstraintSet
+        from cvx_tpu.problem.constraints import LinearBlock, positivity
+        n = 5
+        lower = LinearBlock(G=-jnp.eye(n), c=jnp.zeros((n,)),
+                            ub=jnp.full((n,), 2.0))   # x > -2, NOT positivity
+        cnts = ConstraintSet(blocks=(positivity(n), lower))
+        U, ub = _extract_structured_rows(cnts)
+        assert U.shape == (n, n) and bool(jnp.all(ub == 2.0))
+
+        def traced(G):
+            cs = ConstraintSet(blocks=(LinearBlock(
+                G=G, c=jnp.zeros((n,)), ub=jnp.ones((n,))),))
+            return _extract_structured_rows(cs)
+
+        with pytest.raises(ValueError, match="traced"):
+            jax.jit(traced)(jnp.ones((n, n)))
+
+    def test_strictly_feasible_set_list_sample(self):
+        """A list feasible_point must be stored as an array so lift()/
+        affine_pullback() work and the Domain stays a fixed-arity pytree."""
+        from cvx_tpu.problem.constraints import positivity
+        from cvx_tpu.problem.sets import strictly_feasible_set
+        dom = strictly_feasible_set(positivity(3),
+                                    feasible_point=[0.1, 0.2, 0.3])
+        assert isinstance(dom.sample, jax.Array)
+        lifted = dom.lift(2)
+        assert lifted.sample.shape == (5,)
+        assert bool(lifted.contains(jnp.asarray([0.1, 0.2, 0.3, -9.0, 9.0])))
+
+    def test_dual_fused_A_without_r_raises(self):
+        from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
+        B, k, n = 2, 1, 8
+        Hs = jnp.ones((B, k, n))
+        u = jnp.ones((B, k))
+        A = jnp.ones((B, 1, n))
+        with pytest.raises(ValueError, match="together"):
+            kl_dual_fused(Hs, u, A)
