@@ -43,12 +43,19 @@ import numpy as np
 _T = TypeVar("_T")
 
 
+def _npz_path(path: str) -> str:
+    # np.savez silently appends '.npz' to other suffixes but np.load does
+    # not — normalizing BOTH sides keeps save/load round-trips working for
+    # any path the caller picked (e.g. 'run1.ckpt')
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_pytree(path: str, tree: Any) -> int:
-    """Save every array leaf of ``tree`` to ``path`` (.npz).  Returns the
-    number of leaves written."""
+    """Save every array leaf of ``tree`` to ``path`` (.npz appended when
+    missing).  Returns the number of leaves written."""
     leaves = jax.tree_util.tree_leaves(tree)
-    np.savez(path, **{f"leaf_{i}": np.asarray(leaf)
-                      for i, leaf in enumerate(leaves)})
+    np.savez(_npz_path(path), **{f"leaf_{i}": np.asarray(leaf)
+                                 for i, leaf in enumerate(leaves)})
     return len(leaves)
 
 
@@ -56,7 +63,7 @@ def load_pytree(path: str, like: _T) -> _T:
     """Load a pytree saved by ``save_pytree``.  ``like`` supplies the
     structure (same type/treedef as the saved object; its leaf VALUES are
     ignored)."""
-    data = np.load(path)
+    data = np.load(_npz_path(path))
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     if len(data.files) != len(leaves_like):
         raise ValueError(
@@ -90,17 +97,28 @@ def resume_barrier(obj, cnts, sol, pars=None, eqs=None):
 
     pars = pars or SolverParams()
     m = cnts.m
-    gap = float(sol.duality_gap)
-    if not np.isfinite(gap) or gap <= 0:
+    gaps = np.asarray(sol.duality_gap)
+    if not np.all(np.isfinite(gaps)) or np.any(gaps <= 0):
         raise ValueError(
-            f"cannot resume from gap={gap!r} (unhealthy checkpoint — "
+            f"cannot resume from gap={gaps!r} (unhealthy checkpoint — "
             "check sol.status)")
-    if gap <= pars.tol:
+    if np.all(gaps <= pars.tol):
         # already past the target: re-entering the continuation with
         # t0 > t_max would skip the loop and return its (inf, inf) init
         # diagnostics — the checkpoint IS the finished solution
         return sol
-    t0 = pars.mu * m / gap  # next stage after the checkpointed one
+    if gaps.ndim >= 1:
+        # batched (vmapped) Solution: per-instance t, whole batch resumed
+        # in one vmapped continuation.  t0 clamped below the loop's entry
+        # threshold so ALREADY-converged instances of a mixed batch still
+        # run one (cheap) closing stage instead of skipping the loop and
+        # returning its (inf, inf) init diagnostics.
+        t_cap = 0.99 * pars.mu * m / pars.tol
+        t0s = jnp.minimum(pars.mu * m / jnp.asarray(gaps), t_cap)
+        return jax.vmap(
+            lambda x, t0: barrier_solve(obj, cnts, x, pars, eqs=eqs, t0=t0)
+        )(sol.x, t0s)
+    t0 = pars.mu * m / float(gaps)  # next stage after the checkpointed one
     return barrier_solve(obj, cnts, sol.x, pars, eqs=eqs, t0=t0)
 
 
@@ -121,12 +139,20 @@ def resume_structured(obj, U, ub, A, b, sol, pars=None):
 
     pars = pars or SolverParams()
     m = U.shape[0] + sol.x.shape[-1]
-    gap = float(sol.duality_gap)
-    if not np.isfinite(gap) or gap <= 0:
+    gaps = np.asarray(sol.duality_gap)
+    if not np.all(np.isfinite(gaps)) or np.any(gaps <= 0):
         raise ValueError(
-            f"cannot resume from gap={gap!r} (unhealthy checkpoint — "
+            f"cannot resume from gap={gaps!r} (unhealthy checkpoint — "
             "check sol.status)")
-    if gap <= pars.tol:
+    if np.all(gaps <= pars.tol):
         return sol
-    t0 = pars.mu * m / gap
+    if gaps.ndim >= 1:
+        # batched fleet checkpoint (see resume_barrier)
+        t_cap = 0.99 * pars.mu * m / pars.tol
+        t0s = jnp.minimum(pars.mu * m / jnp.asarray(gaps), t_cap)
+        return jax.vmap(
+            lambda x, t0: barrier_solve_structured(obj, U, ub, A, b, x,
+                                                   pars, t0=t0)
+        )(sol.x, t0s)
+    t0 = pars.mu * m / float(gaps)
     return barrier_solve_structured(obj, U, ub, A, b, sol.x, pars, t0=t0)

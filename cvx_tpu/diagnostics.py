@@ -152,7 +152,9 @@ def barrier_history(
     x = x0
     t = 1.0
     m = cnts.m
-    one_stage = SolverParams(**{**_as_dict(pars), "outer_max_iter": 1})
+    from .tree import replace
+
+    one_stage = replace(pars, outer_max_iter=1)
     for stage in range(max_stages):
         sol = barrier_solve(obj, cnts, x, one_stage, eqs=eqs, t0=t)
         x = sol.x
@@ -169,10 +171,3 @@ def barrier_history(
             break
         t *= float(pars.mu)
     return history
-
-
-def _as_dict(pars: SolverParams) -> dict:
-    import dataclasses
-
-    return {f.name: getattr(pars, f.name)
-            for f in dataclasses.fields(pars)}

@@ -239,7 +239,11 @@ def solve_dual(
     whose ``lam``/``nu`` are the dual optimum split as in Duality.scala:128-132.
     """
     pars = pars or SolverParams()
-    dtype = jnp.result_type(float)
+    # dtype follows the dual objective's DATA (f32 problems keep the f32
+    # fast path even under jax_enable_x64, where a canonical-float default
+    # would silently promote the whole dual solve to emulated f64 on TPU)
+    leaves = jax.tree_util.tree_leaves(neg_dual_objective)
+    dtype = jnp.result_type(*leaves) if leaves else jnp.result_type(float)
     z0 = jnp.full((dual_dim,), pars.dual_start, dtype)
 
     if num_ineq > 0:

@@ -84,7 +84,8 @@ class _NegDualObjective:
         return self.R * jnp.exp(-Btz)
 
     def value(self, z):
-        return self.w @ z + jnp.sum(self._y(z))
+        return (jnp.einsum("i,i->", self.w, z, precision="highest")
+                + jnp.sum(self._y(z)))
 
     def grad(self, z):
         return self.w - jnp.einsum("in,n->i", self.B, self._y(z),
@@ -96,6 +97,7 @@ class _NegDualObjective:
                           precision="highest")
 
 
+@mxu_exact
 def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8,
                 value_band_eps: float | None = None):
     """MEASURED duality-gap certificate for the KL problem at iterate ``x``.
@@ -149,7 +151,8 @@ def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8,
     z = _polish_dual(neg_dual, z, num_ineq=k, steps=polish_steps,
                      value_band_eps=value_band_eps)
     dual_val = -neg_dual.value(z)
-    primal_val = x @ jnp.log(n * x)
+    primal_val = jnp.einsum("n,n->", x, jnp.log(n * x),
+                            precision="highest")
     return primal_val - dual_val, z
 
 
@@ -350,7 +353,14 @@ class DistKL:
     @classmethod
     def create(cls, n: int, H=None, u=None, A=None, r=None,
                dtype=None) -> "DistKL":
-        dtype = dtype or jnp.result_type(float)
+        # default to the INPUT arrays' joint dtype (f32 data stays f32 even
+        # under jax_enable_x64, which the certified route requires) — a
+        # canonical-float default would silently upcast to f64 and push the
+        # Pallas kernel off its x32 trace guard; same policy as QP.create
+        if dtype is None:
+            given = [v for v in (H, u, A, r) if v is not None]
+            dtype = (jnp.result_type(*given, float) if given
+                     else jnp.result_type(float))
         if (H is None) != (u is None) or (A is None) != (r is None):
             raise ValueError("H,u (and A,r) must be given together")
         if H is None:
@@ -425,6 +435,7 @@ class DistKL:
         return q / jnp.sum(q)
 
     # ----------------------------------------------------------------- solve
+    @mxu_exact
     def solve_dual_newton(self, pars: SolverParams | None = None,
                           steps: int = 30) -> Solution:
         """Direct active-set projected-Newton solve of the closed-form dual
@@ -453,7 +464,10 @@ class DistKL:
         z0 = jnp.full((self.dual_dim,), pars.dual_start, dtype)
         z = _polish_dual(d, z0, num_ineq=k, steps=steps)
         x = self.primal_optimum(z)
-        gap = x @ jnp.log(self.n * x) + d.value(z)  # f(x) - g(z), measured
+        # f(x) - g(z), measured; highest precision: the bf16-MXU default
+        # (eps ~8e-3) would put ~1e-3 noise on the certificate itself
+        gap = jnp.einsum("n,n->", x, jnp.log(self.n * x),
+                         precision="highest") + d.value(z)
         nan = jnp.asarray(jnp.nan, dtype)
         grad_norm = jnp.linalg.norm(d.grad(z))
         eps = jnp.finfo(dtype).eps
@@ -473,7 +487,7 @@ class DistKL:
             duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
             norm_grad=grad_norm, norm_dual_residual=nan,
             iters=jnp.asarray(steps), maxed_out=jnp.asarray(False),
-            stalled=stalled, ineq_res=self._ineq_res(x),
+            stalled=stalled, ineq_res=ineq,
         )
 
     def _ineq_res(self, x: jax.Array) -> jax.Array:
@@ -517,6 +531,7 @@ class DistKL:
         x, gap, z = x[0], gap[0], z[0]
         nan = jnp.asarray(jnp.nan, dtype)
         eps = jnp.finfo(dtype).eps
+        ineq = self._ineq_res(x)
         return Solution(
             x=x, lam=z[:k], nu=z[k:], newton_decrement=nan,
             duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
@@ -526,8 +541,8 @@ class DistKL:
                 jnp.logical_not(jnp.all(jnp.isfinite(x))),
                 jnp.logical_not(jnp.logical_and(  # |.|: infeasible ->
                     jnp.abs(gap) <= jnp.sqrt(eps),   # -inf; NaN-safe form
-                    self._ineq_res(x) <= jnp.sqrt(eps)))),
-            ineq_res=self._ineq_res(x),
+                    ineq <= jnp.sqrt(eps)))),
+            ineq_res=ineq,
         )
 
     def solve_certified(self, pars: SolverParams | None = None,
@@ -599,13 +614,19 @@ class DistKL:
                                       interpret=not on_tpu,
                                       bt=256 if on_tpu else 8)
         else:
+            # the XLA fallback starts COLD (no fused-kernel warm start), so
+            # it gets at least its own tuned schedule even when the caller
+            # passes the kernel-sized default
+            fb_steps = max(steps, 30)
+
             def one(ui, ri):
                 prob = DistKL(H=self.H, u=ui, A=self.A, r=ri, n=self.n)
-                s = prob.solve_dual_newton(pars)
+                s = prob.solve_dual_newton(pars, steps=fb_steps)
                 return s.x, jnp.concatenate([s.lam, s.nu])
 
             xs, zs = jax.vmap(one)(u, rb if m_eq > 0
                                    else jnp.zeros((B, 0), dtype))
+            steps = fb_steps   # honest work accounting in iters below
 
         eq_A = jnp.concatenate([jnp.ones((1, self.n), dtype), self.A],
                                axis=0)
@@ -716,11 +737,13 @@ class DistKL:
                 # the iterative solvers, not a sensible step count here —
                 # cap it at the kernel's tuned default
                 n_inner = min(int(pars.max_iter), 8)
+                on_tpu = jax.devices()[0].platform == "tpu"
                 x = kl_barrier_fused(
                     self.H[None], self.u[None],
                     jnp.ones((1, 1, self.n), dtype), jnp.ones((1, 1), dtype),
                     feasible_point[None],
                     mu=float(pars.mu), tol=float(pars.tol), n_inner=n_inner,
+                    interpret=not on_tpu,
                 )[0]
                 m = k + self.n
                 n_outer = fused_n_outer(m, mu=float(pars.mu),
@@ -737,17 +760,23 @@ class DistKL:
                 eps = jnp.finfo(dtype).eps
                 # per-instance health from the MEASURED gap + finiteness
                 # (the fixed branch-free schedule has no stall signal of
-                # its own; a diverged instance must still be flagged)
+                # its own).  |gap| AND the violation test, like the dual
+                # routes: an INFEASIBLE iterate the kernel could not move
+                # (NaN barrier -> x0 returned) has f(x0) < p*, i.e. a
+                # NEGATIVE measured gap that a one-sided test calls healthy
+                ineq = self._ineq_res(x)
                 stalled = jnp.logical_or(
                     jnp.logical_not(jnp.all(jnp.isfinite(x))),
-                    jnp.logical_not(gap < jnp.sqrt(eps)))
+                    jnp.logical_not(jnp.logical_and(
+                        jnp.abs(gap) <= jnp.sqrt(eps),
+                        ineq <= jnp.sqrt(eps))))
                 return Solution(
                     x=x, lam=lam, nu=z[k:], newton_decrement=nan,
                     duality_gap=gap, eq_gap=jnp.abs(jnp.sum(x) - 1.0),
                     norm_grad=nan, norm_dual_residual=nan,
                     iters=jnp.asarray(n_outer * n_inner),
                     maxed_out=jnp.asarray(False), stalled=stalled,
-                    ineq_res=self._ineq_res(x),
+                    ineq_res=ineq,
                 )
         if method == "BR_fast":
             # structure-exploiting primal barrier: the KL barrier Hessian is

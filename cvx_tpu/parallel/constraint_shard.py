@@ -192,8 +192,11 @@ def barrier_solve_msharded(
             # rationale as solvers/barrier.py t_active)
             moved = jnp.any(x_new != x)
             t_active = jnp.where(moved, t, t_active)
-            return (x_new, pars.mu * t, it + 1, n_newton + inner_it,
-                    jnp.logical_or(hard, hard_i), t_active)
+            # .astype: traced pars.mu loses its weak type through the
+            # shard_map closure — without the pin the f32 t carry promotes
+            return (x_new, (pars.mu * t).astype(t.dtype), it + 1,
+                    n_newton + inner_it, jnp.logical_or(hard, hard_i),
+                    t_active)
 
         x, t, outer_it, n_newton, hard, t_active = lax.while_loop(
             outer_cond, outer_body,
@@ -263,9 +266,16 @@ def _check_shardable(cnts, n_dev: int):
 
 
 def _cnts_specs(cnts, axis: str):
-    """PartitionSpec pytree sharding every block array on its leading
-    (constraint) axis.  All Linear/Quad block leaves carry m first."""
-    return jax.tree_util.tree_map(lambda _: P(axis), cnts)
+    """PartitionSpec pytree sharding every BLOCK array on its leading
+    (constraint) axis — all Linear/Quad block leaves carry m first —
+    while any domain leaves (whole_space(dim)'s interior sample has no
+    constraint axis) are replicated with P()."""
+    from ..tree import replace
+
+    return replace(
+        cnts,
+        blocks=jax.tree_util.tree_map(lambda _: P(axis), cnts.blocks),
+        domain=jax.tree_util.tree_map(lambda _: P(), cnts.domain))
 
 
 @mxu_exact
@@ -398,8 +408,11 @@ def barrier_solve_msharded_cnts(
             x_new, inner_it, hard_i = inner(t, x)
             moved = jnp.any(x_new != x)
             t_active = jnp.where(moved, t, t_active)
-            return (x_new, pars.mu * t, it + 1, n_newton + inner_it,
-                    jnp.logical_or(hard, hard_i), t_active)
+            # .astype: traced pars.mu loses its weak type through the
+            # shard_map closure — without the pin the f32 t carry promotes
+            return (x_new, (pars.mu * t).astype(t.dtype), it + 1,
+                    n_newton + inner_it, jnp.logical_or(hard, hard_i),
+                    t_active)
 
         x, t, outer_it, n_newton, hard, t_active = lax.while_loop(
             outer_cond, outer_body,
@@ -472,7 +485,12 @@ def primal_dual_solve_msharded(
     nan = jnp.asarray(jnp.nan, dtype)
     has_eqs = eqs is not None
     p = eqs.p if has_eqs else 0
-    ls_max = int(-30.0 / jnp.log(pars.beta)) + 1
+    # same traced-pars fallback as the local solver (primal_dual.py): when
+    # pars cross a jit boundary beta is a tracer and cannot shape the trace
+    try:
+        ls_max = int(-30.0 / float(jnp.log(pars.beta))) + 1
+    except jax.errors.ConcretizationTypeError:
+        ls_max = pars.ls_max_steps
     eps = jnp.finfo(dtype).eps
     gap_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 50.0 * eps)
     res_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 1e3 * eps)
@@ -505,7 +523,10 @@ def primal_dual_solve_msharded(
         def body(carry):
             x, lam, nu, _, _, _, it, _ = carry
             eta = surrogate_gap(x, lam)
-            t = pars.mu * m / eta
+            # pin: a traced pars.mu loses its weak type through the
+            # shard_map closure, so without astype t goes strong-f64 and
+            # promotes dlam/lam/gap out of the f32 carry
+            t = (pars.mu * m / eta).astype(dtype)
 
             f = cl.residual(x)
             G = cl.jac(x)
@@ -528,6 +549,10 @@ def primal_dual_solve_msharded(
                                   delta=pars.chol_delta,
                                   tol=pars.tol_eq_solve)
                 dnu = jnp.zeros((0,), dtype)
+            # f64 pars leaves (chol_delta under jax_enable_x64) must not
+            # promote the carry through the step (same as the local PD)
+            dx = dx.astype(dtype)
+            dnu = dnu.astype(dtype)
 
             r_cent = -lam * f - 1.0 / t
             w = G @ dx
@@ -550,7 +575,9 @@ def primal_dual_solve_msharded(
             _kk = jnp.arange(ls_max)
             _expo = jnp.where(_kk < 32, _kk,
                               32 + 3 * (_kk - 32)).astype(dtype)
-            ss = s0 * pars.beta ** _expo
+            # .astype: f64 beta leaves under x64 must not promote the trial
+            # iterates out of the carry dtype (same as the local PD)
+            ss = (s0 * pars.beta ** _expo).astype(dtype)
             feas_loc, n2s = jax.vmap(trial)(ss)
             feas = lax.psum((~feas_loc).astype(dtype), axis) == 0
             dec = jnp.sqrt(n2s) <= (1.0 - pars.alpha * ss) * \

@@ -181,12 +181,18 @@ def separable_barrier_solve(
 
     def inner_newton(t, x, w0):
         def cond(carry):
-            x, w, dec, eq_err, it, _ = carry
+            x, w, dec, eq_err, it, _, moved = carry
             go = jnp.logical_or(dec > pars.tol, eq_err > jnp.sqrt(pars.tol))
-            return jnp.logical_and(go, it < pars.max_iter)
+            # a rejected step leaves the state IDENTICAL, so the next
+            # iteration would recompute the exact same rejected step:
+            # without this exit an infeasible-start stall (dec -> 0 but
+            # eq_err still > sqrt(tol)) spins max_iter useless distributed
+            # factorizations per outer stage
+            return jnp.logical_and(jnp.logical_and(go, moved),
+                                   it < pars.max_iter)
 
         def body(carry):
-            x, w_prev, _, _, it, hard = carry
+            x, w_prev, _, _, it, hard, _ = carry
             val, grads, hesss = prob.barrier_pieces(t, x)
             eq_resid = jnp.einsum("kpn,kn->p", prob.C, x) - prob.c
             # Newton: sum_k C_k dx_k must equal -(sum C x - c)
@@ -231,12 +237,12 @@ def separable_barrier_solve(
                     jnp.logical_or(dec > hard_stall_dec,
                                    jnp.logical_not(jnp.isfinite(dec)))))
             dec = jnp.where(s > 0, dec, 0.0)  # stalled -> exit via dec
-            return x_new, w_new, dec, eq_err, it + 1, hard
+            return x_new, w_new, dec, eq_err, it + 1, hard, take
 
         big = jnp.asarray(jnp.inf, dtype)
-        x, w, dec, eq_err, it, hard = lax.while_loop(
+        x, w, dec, eq_err, it, hard, _ = lax.while_loop(
             cond, body, (x, w0, big, big, jnp.asarray(0),
-                         jnp.asarray(False)))
+                         jnp.asarray(False), jnp.asarray(True)))
         return x, w, it, hard
 
     def outer_cond(carry):
@@ -250,8 +256,10 @@ def separable_barrier_solve(
         x_new, w, inner_it, hard_i = inner_newton(t, x, w)
         moved = jnp.any(x_new != x)
         t_active = jnp.where(moved, t, t_active)
-        return (x_new, w, pars.mu * t, it + 1, n_newton + inner_it,
-                jnp.logical_or(hard, hard_i), t_active)
+        # .astype: traced pars.mu loses its weak type through closures,
+        # which would promote the f32 t carry to f64 at trace time
+        return (x_new, w, (pars.mu * t).astype(t.dtype), it + 1,
+                n_newton + inner_it, jnp.logical_or(hard, hard_i), t_active)
 
     w0 = jnp.zeros((p,), dtype)
     one = jnp.asarray(1.0, dtype)

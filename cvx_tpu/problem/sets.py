@@ -48,6 +48,10 @@ class Domain:
         """Cartesian product with R^extra: predicate sees only x[:n]; the
         sample (if any) is padded with the R^extra origin
         (ConvexSets.scala:57-86)."""
+        if extra == 0:
+            # identity lift — xs[:-0] would be the EMPTY slice, silently
+            # turning the predicate into a constant True
+            return self
         fn, n_extra = self.fn, extra
 
         def lifted(params, xs):

@@ -845,3 +845,231 @@ class TestSelfReviewFixes:
         A = jnp.ones((B, 1, n))
         with pytest.raises(ValueError, match="together"):
             kl_dual_fused(Hs, u, A)
+
+
+class TestDeepReviewFixes:
+    """Regressions for the whole-core (high-effort) review findings."""
+
+    def _infeasible_prob(self, n=16):
+        I_A = np.zeros(n); I_A[:4] = 1.0
+        H = jnp.asarray(-I_A)[None]          # P(A) >= 0.6 with |A|/n = 0.25
+        return DistKL.create(n, H=H, u=jnp.asarray([-0.6]))
+
+    def test_fused_flags_infeasible_start(self):
+        """The fused primal kernel cannot move an infeasible x0 (NaN
+        barrier); the returned x0 has f(x0) < p* i.e. a NEGATIVE measured
+        gap — the stall flag must use |gap| AND the violation residual,
+        not a one-sided gap < tol test."""
+        prob = self._infeasible_prob()
+        x0 = jnp.full((prob.n,), 1.0 / prob.n)    # violates P(A) >= 0.6
+        sol = prob.solve_jittable(x0, method="fused")
+        assert float(sol.ineq_res) > 1e-3
+        assert bool(sol.stalled)
+
+    def test_fused_runs_on_cpu_without_monkeypatch(self):
+        """solve_jittable('fused') must pass interpret off-TPU itself
+        (like solve_dual_fused) instead of relying on test monkeypatches."""
+        n = 16
+        I_A = np.zeros(n); I_A[:4] = 1.0
+        prob = DistKL.create(n, H=jnp.asarray(-I_A)[None],
+                             u=jnp.asarray([-0.4]))
+        w = 0.45
+        x0 = jnp.asarray(w * I_A / 4 + (1 - w) * (1 - I_A) / (n - 4))
+        sol = prob.solve_jittable(x0, method="fused")
+        assert not bool(sol.stalled)
+        assert float(jnp.abs(sol.duality_gap)) < 1e-4
+
+    def test_create_dtype_follows_inputs(self):
+        """f32 H/u must stay f32 under jax_enable_x64 (the canonical-float
+        default upcast pushed the Pallas kernel off its x32 trace guard);
+        same policy QP.create got in the same round."""
+        assert jax.config.jax_enable_x64
+        n = 8
+        prob = DistKL.create(n, H=jnp.ones((1, n), jnp.float32),
+                             u=jnp.ones((1,), jnp.float32))
+        assert prob.H.dtype == jnp.float32
+        assert prob.r.dtype == jnp.float32
+        prob64 = DistKL.create(n, H=np.ones((1, n)), u=np.ones((1,)))
+        assert prob64.H.dtype == jnp.float64
+
+    def test_solve_dual_follows_objective_dtype(self):
+        """solve_dual's z0/constraints follow the dual objective's data
+        dtype — an f32 problem must not silently run its whole dual
+        barrier in (TPU-emulated) f64."""
+        n = 12
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        prob = DistKL.create(n, H=jnp.asarray(-I_A, jnp.float32)[None],
+                             u=jnp.asarray([-0.4], jnp.float32))
+        sol = prob.solve(method="dual")
+        assert sol.x.dtype == jnp.float32
+        assert sol.lam.dtype == jnp.float32
+
+    def test_certified_batch_fallback_iters_honest(self):
+        """The dim > 5 fallback runs its own cold-start schedule (>= 30
+        steps) and reports THAT in iters, not the kernel-sized default."""
+        n, k, B = 24, 9, 2
+        rng = np.random.default_rng(5)
+        rows = np.zeros((k, n))
+        for i in range(k):
+            rows[i, rng.choice(n, 4, replace=False)] = 1.0
+        prob = DistKL.create(n, H=jnp.asarray(rows), u=jnp.full((k,), 0.9))
+        u = jnp.asarray(0.3 + 0.25 * rng.random((B, k)))
+        sol = prob.solve_certified_batch(u, steps=16, polish_steps=4)
+        assert int(sol.iters[0]) == 34        # 30 cold steps + 4 polish
+        assert float(jnp.max(jnp.abs(sol.duality_gap))) < 1e-8
+
+
+class TestInfraReviewFixes:
+    """Regressions for the parallel/problem/infra review findings."""
+
+    def test_checkpoint_suffix_roundtrip(self, tmp_path):
+        """np.savez appends .npz to other suffixes; save/load must agree
+        so any caller-picked path (e.g. 'run1.ckpt') round-trips."""
+        from cvx_tpu.checkpoint import load_pytree, save_pytree
+        tree = {"a": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+        p = str(tmp_path / "run1.ckpt")
+        save_pytree(p, tree)
+        back = load_pytree(p, tree)
+        assert float(jnp.max(jnp.abs(back["a"] - tree["a"]))) == 0.0
+
+    def test_batched_resume_structured(self, tmp_path):
+        """The module docstring promises batched fleet runs resume for
+        free: a vmapped BR_fast checkpoint (B > 1) must resume to
+        certificate level, converged and unconverged instances alike."""
+        from cvx_tpu.checkpoint import (load_pytree, resume_structured,
+                                        save_pytree)
+        from cvx_tpu.models import DistKL
+        from cvx_tpu.solvers.structured import barrier_solve_structured
+        n, B = 12, 3
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        u = jnp.asarray([-0.4])        # P(A) >= 0.4, shared rows + bound
+        prob = DistKL.create(n, H=jnp.asarray(-I_A)[None], u=u)
+        eqs = prob.equalities
+        ws = jnp.asarray([0.45, 0.55, 0.7])     # strictly feasible starts
+        x0s = jax.vmap(lambda w: w * jnp.asarray(I_A) / 3
+                       + (1 - w) * jnp.asarray(1 - I_A) / (n - 3))(ws)
+        # partial run: few outer stages -> a mid-continuation checkpoint
+        pars_short = SolverParams(outer_max_iter=3, mu=10.0, tol=1e-9)
+        mid = jax.vmap(lambda x0: barrier_solve_structured(
+            prob.objective, prob.H, u, eqs.A, eqs.b, x0, pars_short))(x0s)
+        assert float(jnp.min(mid.duality_gap)) > 1e-9   # genuinely partial
+        p = str(tmp_path / "fleet.npz")
+        save_pytree(p, mid)
+        restored = load_pytree(p, mid)
+        pars = SolverParams(mu=10.0, tol=1e-9)
+        fin = resume_structured(prob.objective, prob.H, u,
+                                eqs.A, eqs.b, restored, pars)
+        assert fin.x.shape == (B, n)
+        assert float(jnp.max(fin.duality_gap)) < 1e-7
+        assert not bool(jnp.any(fin.stalled))
+
+    def test_msharded_cnts_accepts_whole_space_dim(self, key=jax.random.PRNGKey(9)):
+        """whole_space(n) carries an (n,) interior sample with NO
+        constraint axis: the spec pytree must replicate domain leaves
+        (P()) instead of sharding them on the m axis — n = 36 is not
+        divisible by the 8-device mesh, so a mis-sharded sample crashes."""
+        from cvx_tpu.parallel import instance_mesh
+        from cvx_tpu.parallel.constraint_shard import \
+            barrier_solve_msharded_cnts
+        from cvx_tpu.problem.constraint_set import ConstraintSet
+        from cvx_tpu.problem.constraints import LinearBlock
+        from cvx_tpu.problem.objective import QuadraticObjective
+        from cvx_tpu.problem.sets import whole_space
+        from cvx_tpu.solvers.barrier import barrier_solve
+        m, n = 64, 36
+        k1, k2 = jax.random.split(key)
+        G = jax.random.normal(k1, (m, n)) / np.sqrt(n)
+        ub = jnp.abs(G @ jnp.zeros((n,))) + \
+            jax.random.uniform(k2, (m,), minval=0.5, maxval=1.0)
+        blk = LinearBlock(G=G, c=jnp.zeros((m,)), ub=ub)
+        cnts = ConstraintSet(blocks=(blk,), domain=whole_space(n))
+        z = jnp.ones((n,)) / n
+        obj = QuadraticObjective(P=jnp.eye(n), a=-z,
+                                 r=jnp.asarray(0.5 * float(z @ z)))
+        pars = SolverParams(tol=1e-9, mu=20.0)
+        mesh = instance_mesh(8, axis="m")
+        sol_sh = barrier_solve_msharded_cnts(obj, cnts, jnp.zeros((n,)),
+                                             pars, mesh=mesh)
+        sol_lo = barrier_solve(obj, cnts, jnp.zeros((n,)), pars)
+        assert not bool(sol_sh.stalled)
+        assert float(jnp.max(jnp.abs(sol_sh.x - sol_lo.x))) < 1e-6
+
+    def test_schur_stall_exits_quickly(self, key=jax.random.PRNGKey(4)):
+        """A rejected step leaves the state identical; the inner loop must
+        exit instead of recomputing the same rejected step max_iter times
+        per outer stage (a NaN block + violated coupling equalities kept
+        the old cond true through dec=0)."""
+        from cvx_tpu.parallel.schur import SeparableProblem, \
+            separable_barrier_solve
+        from cvx_tpu.tree import replace as tree_replace
+        K, nb, mb, p = 4, 8, 4, 2
+        ks = jax.random.split(key, 4)
+        eye = jnp.eye(nb)
+        P = jnp.tile((eye + 0.1)[None], (K, 1, 1))
+        a = jax.random.normal(ks[0], (K, nb)).at[1].set(jnp.nan)
+        G = jnp.tile(jnp.concatenate([eye, -eye], axis=0)[None],
+                     (K, 1, 1))[:, :mb]
+        u = jnp.full((K, mb), 10.0)
+        C = jax.random.normal(ks[1], (K, p, nb)) / np.sqrt(nb)
+        c = 0.1 * jax.random.normal(ks[2], (p,))
+        prob = SeparableProblem(P=P, a=a, G=G, u=u, C=C, c=c)
+        sol = separable_barrier_solve(prob, jnp.zeros((K, nb)))
+        assert bool(np.asarray(sol.stalled)[1])
+        # one futile iteration per outer stage at most — not max_iter each
+        assert int(sol.iters) <= 200
+
+    def test_domain_lift_zero_is_identity(self):
+        from cvx_tpu.problem.sets import positive_orthant
+        dom = positive_orthant(3)
+        lifted = dom.lift(0)
+        assert not bool(lifted.contains(jnp.asarray([1.0, -1.0, 1.0])))
+        assert bool(lifted.contains(jnp.asarray([1.0, 2.0, 3.0])))
+
+    def test_msharded_pd_f64_pars_leaves(self, key=jax.random.PRNGKey(11)):
+        """The m-sharded PD gets the same f64-pars immunity as its local
+        twin: f32 problem data + params crossing a jit boundary must not
+        promote the carry (and ls_max falls back to the static schedule)."""
+        assert jax.config.jax_enable_x64
+        from cvx_tpu.parallel import instance_mesh
+        from cvx_tpu.parallel.constraint_shard import \
+            primal_dual_solve_msharded
+        from cvx_tpu.problem.constraint_set import ConstraintSet
+        from cvx_tpu.problem.constraints import LinearBlock
+        from cvx_tpu.problem.objective import QuadraticObjective
+        m, n = 64, 16
+        k1, k2 = jax.random.split(key)
+        # float(): a strong np.float64 scalar would promote G to f64
+        G = jax.random.normal(k1, (m, n), jnp.float32) / float(np.sqrt(n))
+        ub = jax.random.uniform(k2, (m,), jnp.float32, 0.5, 1.0)
+        cnts = ConstraintSet(blocks=(LinearBlock(
+            G=G, c=jnp.zeros((m,), jnp.float32), ub=ub),))
+        z = jnp.ones((n,), jnp.float32) / n
+        obj = QuadraticObjective(P=jnp.eye(n, dtype=jnp.float32), a=-z,
+                                 r=jnp.asarray(0.5 * float(z @ z),
+                                               jnp.float32))
+        mesh = instance_mesh(8, axis="m")
+        pars = SolverParams(tol=1e-6, kkt_method="chol")
+
+        @jax.jit
+        def run(pars):
+            return primal_dual_solve_msharded(
+                obj, cnts, jnp.zeros((n,), jnp.float32), pars, mesh=mesh)
+
+        sol = run(pars)    # must not raise a carry-dtype mismatch
+        assert sol.x.dtype == jnp.float32
+        assert float(sol.duality_gap) < 1e-3
+
+    def test_barrier_history_single_stage_params(self):
+        """barrier_history's one-stage params now come from tree.replace
+        (no hand-rolled dataclass copy)."""
+        from cvx_tpu.diagnostics import barrier_history
+        from cvx_tpu.models import DistKL
+        n = 8
+        I_A = np.zeros(n); I_A[:2] = 1.0
+        prob = DistKL.create(n, H=jnp.asarray(-I_A)[None],
+                             u=jnp.asarray([-0.3]))
+        x0 = jnp.full((n,), 1.0 / n) * 0 + \
+            (0.35 * jnp.asarray(I_A) / 2 + 0.65 * jnp.asarray(1 - I_A) / (n - 2))
+        hist = barrier_history(prob.objective, prob.inequalities, x0,
+                               eqs=prob.equalities, max_stages=25)
+        assert hist[-1]["gap"] < 1e-6
