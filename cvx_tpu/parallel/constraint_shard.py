@@ -53,6 +53,144 @@ from ..solvers.types import Solution, SolverParams
 from ..tree import mxu_exact
 
 
+def _run_msharded_barrier(obj, pars, x0, t0, *, axis, m, has_eqs, A_, b_,
+                          fgh, ls_margins, exit_margins, exit_scale):
+    """The m-sharded barrier continuation scaffold, shared by the raw-rows
+    and generic-ConstraintSet front ends (their only difference is HOW
+    margins are evaluated; everything else — Newton acceptance, the
+    inner/outer loops, stall/health accounting, dual recovery — is
+    identical, and hardening fixes must land once, not per copy).
+
+    Runs INSIDE a shard_map body.  Callbacks, all over the LOCAL shard:
+      * ``fgh(t, x) -> (val, grad, hess)``  — psum'd barrier pieces;
+      * ``ls_margins(x, dx, ls_ts) -> (n_ls, m_loc)`` candidate margins;
+      * ``exit_margins(x) -> (m_loc,)`` margins at the exit iterate;
+      * ``exit_scale``  — (m_loc,) scale (|ub|) for the exit health band.
+    Returns the raw per-device output tuple
+    ``(x, lam, gap, eq_gap, n_newton, maxed, stalled)``.
+    """
+    dtype = x0.dtype
+    eps = jnp.finfo(dtype).eps
+    tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 50.0 * eps)
+    eq_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 100.0 * eps)
+    t_max = 10.0 * pars.mu * m / pars.tol
+    kk = jnp.arange(pars.ls_max_steps)
+    expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(dtype)
+    ls_ts = jnp.asarray(pars.beta, dtype) ** expo
+    hard_stall_gap = jnp.sqrt(tol)
+
+    def newton_step(t, x):
+        val, g, H = fgh(t, x)
+        if has_eqs:
+            dx, _, _ = kkt_solve(H, A_, g, b_ - A_ @ x,
+                                 method=pars.kkt_method,
+                                 refine=pars.kkt_refine,
+                                 delta=pars.chol_delta,
+                                 tol=pars.tol_eq_solve)
+        else:
+            dx, _ = sym_solve(H, -g, method=pars.kkt_method,
+                              refine=pars.kkt_refine,
+                              delta=pars.chol_delta,
+                              tol=pars.tol_eq_solve)
+        q = dx @ g
+        dec = -q / 2.0
+
+        # vectorized line search: one (n_ls,) psum for the log sums and
+        # one for the feasibility mask
+        ds = ls_margins(x, dx, ls_ts)              # (n_ls, m_loc)
+        ok_loc = jnp.all(ds > 0, axis=1)
+        bad = lax.psum((~ok_loc).astype(dtype), axis)
+        ok = bad == 0
+        logs_loc = jnp.sum(jnp.log(jnp.where(ds > 0, ds, 1.0)), axis=1)
+        logs = lax.psum(logs_loc, axis)
+        fs = jax.vmap(lambda s: t * obj.value(x + s * dx))(ls_ts) - logs
+        fs = jnp.where(ok, fs, jnp.inf)
+        armijo = fs <= val + pars.alpha * ls_ts * q
+        acc = jnp.logical_and(ok, armijo)
+        any_acc = jnp.any(acc)
+        s = jnp.where(any_acc, ls_ts[jnp.argmax(acc)], 0.0)
+        take = jnp.logical_and(jnp.logical_and(dec > tol, any_acc),
+                               jnp.all(jnp.isfinite(dx)))
+        x_new = jnp.where(take, x + s * dx, x)
+        stalled = jnp.logical_and(dec > tol, jnp.logical_not(take))
+        return x_new, dec, stalled
+
+    def inner(t, x):
+        def cond(carry):
+            x, dec, it, stalled, _ = carry
+            go = jnp.logical_and(dec > tol, it < pars.max_iter)
+            return jnp.logical_and(go, jnp.logical_not(stalled))
+
+        def body(carry):
+            x, _, it, _, hard = carry
+            x, dec, stalled = newton_step(t, x)
+            hard = jnp.logical_or(
+                hard, jnp.logical_and(stalled, m / t > hard_stall_gap))
+            return x, dec, it + 1, stalled, hard
+
+        big = jnp.asarray(jnp.inf, dtype)
+        x, dec, it, _, hard = lax.while_loop(
+            cond, body, (x, big, jnp.asarray(0), jnp.asarray(False),
+                         jnp.asarray(False)))
+        return x, it, hard
+
+    def outer_cond(carry):
+        x, t, it, n_newton, hard, t_active = carry
+        gap = m / (t / pars.mu)
+        eq_ok = (jnp.linalg.norm(b_ - A_ @ x) < eq_tol if has_eqs
+                 else jnp.asarray(True))
+        go = jnp.logical_not(jnp.logical_and(gap < pars.tol, eq_ok))
+        go = jnp.logical_and(go, it < pars.outer_max_iter)
+        return jnp.logical_and(go, t <= t_max)
+
+    def outer_body(carry):
+        x, t, it, n_newton, hard, t_active = carry
+        x_new, inner_it, hard_i = inner(t, x)
+        # track the last t the iterate actually moved at: once Newton
+        # drops below roundoff the continuation keeps annealing but x
+        # freezes — the dual estimate must use the t x tracks (same
+        # rationale as solvers/barrier.py t_active)
+        moved = jnp.any(x_new != x)
+        t_active = jnp.where(moved, t, t_active)
+        # .astype: traced pars.mu loses its weak type through the
+        # shard_map closure — without the pin the f32 t carry promotes
+        return (x_new, (pars.mu * t).astype(t.dtype), it + 1,
+                n_newton + inner_it, jnp.logical_or(hard, hard_i),
+                t_active)
+
+    x, t, outer_it, n_newton, hard, t_active = lax.while_loop(
+        outer_cond, outer_body,
+        (x0, jnp.asarray(t0, dtype), jnp.asarray(0), jnp.asarray(0),
+         jnp.asarray(False), jnp.asarray(t0, dtype)))
+
+    t_solved = t / pars.mu
+    d_exit = exit_margins(x)
+    lam = 1.0 / (t_active * d_exit)           # local shard of the duals
+    bad_exit = lax.psum(
+        jnp.logical_not(jnp.logical_and(
+            jnp.all(jnp.isfinite(d_exit)),
+            jnp.all(d_exit > -100.0 * eps * (1.0 + jnp.abs(exit_scale)))
+        )).astype(dtype), axis)
+    healthy = jnp.logical_and(jnp.all(jnp.isfinite(x)), bad_exit == 0)
+    gap = jnp.where(healthy, m / t_solved, jnp.asarray(jnp.nan, dtype))
+    eq_gap = (jnp.linalg.norm(b_ - A_ @ x) if has_eqs
+              else jnp.asarray(0.0, dtype))
+    stalled = jnp.logical_or(hard, jnp.logical_not(healthy))
+    maxed = outer_it >= pars.outer_max_iter
+    return x, lam, gap, eq_gap, n_newton, maxed, stalled
+
+
+def _msharded_solution(out, p, dtype):
+    x, lam, gap, eq_gap, iters, maxed, stalled = out
+    nan = jnp.asarray(jnp.nan, dtype)
+    return Solution(
+        x=x, lam=lam, nu=jnp.full((p,), jnp.nan, dtype),
+        newton_decrement=nan, duality_gap=gap, eq_gap=eq_gap,
+        norm_grad=nan, norm_dual_residual=nan, iters=iters,
+        maxed_out=maxed, stalled=stalled,
+    )
+
+
 @mxu_exact
 def barrier_solve_msharded(
     obj: Any,
@@ -80,16 +218,6 @@ def barrier_solve_msharded(
     dtype = x0.dtype
     has_eqs = A is not None
     p = A.shape[0] if has_eqs else 0
-    eps = jnp.finfo(dtype).eps
-    tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 50.0 * eps)
-    eq_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 100.0 * eps)
-    t_max = 10.0 * pars.mu * m / pars.tol
-    n_ls = pars.ls_max_steps
-    kk = jnp.arange(n_ls)
-    expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(dtype)
-    ls_ts = jnp.asarray(pars.beta, dtype) ** expo
-    hard_stall_gap = jnp.sqrt(tol)
-
     if has_eqs:
         A_ = A
         b_ = b
@@ -112,112 +240,18 @@ def barrier_solve_msharded(
             grad = t * obj.grad(x) + lax.psum(G.T @ inv_d, axis)
             hess = t * obj.hess(x) + lax.psum(
                 jnp.einsum("mi,m,mj->ij", G, inv_d * inv_d, G), axis)
-            return val, grad, hess, d
+            return val, grad, hess
 
-        def newton_step(t, x):
-            val, g, H, d = fgh(t, x)
-            if has_eqs:
-                dx, _, _ = kkt_solve(H, A_, g, b_ - A_ @ x,
-                                     method=pars.kkt_method,
-                                     refine=pars.kkt_refine,
-                                     delta=pars.chol_delta,
-                                     tol=pars.tol_eq_solve)
-            else:
-                dx, _ = sym_solve(H, -g, method=pars.kkt_method,
-                                  refine=pars.kkt_refine,
-                                  delta=pars.chol_delta,
-                                  tol=pars.tol_eq_solve)
-            q = dx @ g
-            dec = -q / 2.0
-            Gdx = G @ dx                        # local rows only
+        def ls_margins(x, dx, ls_ts):
+            # linear rows: incremental d - s G dx (no re-evaluation)
+            d = margins(x)
+            Gdx = G @ dx                      # local rows only
+            return d[None, :] - ls_ts[:, None] * Gdx[None, :]
 
-            # vectorized line search: one (n_ls,) psum for the values and
-            # one for the feasibility mask
-            ds = d[None, :] - ls_ts[:, None] * Gdx[None, :]   # (n_ls, m_loc)
-            ok_loc = jnp.all(ds > 0, axis=1)
-            bad = lax.psum((~ok_loc).astype(dtype), axis)
-            ok = bad == 0
-            logs_loc = jnp.sum(jnp.log(jnp.where(ds > 0, ds, 1.0)), axis=1)
-            logs = lax.psum(logs_loc, axis)
-
-            def obj_at(s):
-                return t * obj.value(x + s * dx)
-
-            fs = jax.vmap(obj_at)(ls_ts) - logs
-            fs = jnp.where(ok, fs, jnp.inf)
-            armijo = fs <= val + pars.alpha * ls_ts * q
-            acc = jnp.logical_and(ok, armijo)
-            any_acc = jnp.any(acc)
-            s = jnp.where(any_acc, ls_ts[jnp.argmax(acc)], 0.0)
-            take = jnp.logical_and(jnp.logical_and(dec > tol, any_acc),
-                                   jnp.all(jnp.isfinite(dx)))
-            x_new = jnp.where(take, x + s * dx, x)
-            stalled = jnp.logical_and(dec > tol, jnp.logical_not(take))
-            return x_new, dec, stalled
-
-        def inner(t, x):
-            def cond(carry):
-                x, dec, it, stalled, _ = carry
-                go = jnp.logical_and(dec > tol, it < pars.max_iter)
-                return jnp.logical_and(go, jnp.logical_not(stalled))
-
-            def body(carry):
-                x, _, it, _, hard = carry
-                x, dec, stalled = newton_step(t, x)
-                hard = jnp.logical_or(
-                    hard, jnp.logical_and(stalled, m / t > hard_stall_gap))
-                return x, dec, it + 1, stalled, hard
-
-            big = jnp.asarray(jnp.inf, dtype)
-            x, dec, it, _, hard = lax.while_loop(
-                cond, body, (x, big, jnp.asarray(0), jnp.asarray(False),
-                             jnp.asarray(False)))
-            return x, it, hard
-
-        def outer_cond(carry):
-            x, t, it, n_newton, hard, t_active = carry
-            gap = m / (t / pars.mu)
-            eq_ok = (jnp.linalg.norm(b_ - A_ @ x) < eq_tol if has_eqs
-                     else jnp.asarray(True))
-            go = jnp.logical_not(jnp.logical_and(gap < pars.tol, eq_ok))
-            go = jnp.logical_and(go, it < pars.outer_max_iter)
-            return jnp.logical_and(go, t <= t_max)
-
-        def outer_body(carry):
-            x, t, it, n_newton, hard, t_active = carry
-            x_new, inner_it, hard_i = inner(t, x)
-            # track the last t the iterate actually moved at: once Newton
-            # drops below roundoff the continuation keeps annealing but x
-            # freezes — the dual estimate must use the t x tracks (same
-            # rationale as solvers/barrier.py t_active)
-            moved = jnp.any(x_new != x)
-            t_active = jnp.where(moved, t, t_active)
-            # .astype: traced pars.mu loses its weak type through the
-            # shard_map closure — without the pin the f32 t carry promotes
-            return (x_new, (pars.mu * t).astype(t.dtype), it + 1,
-                    n_newton + inner_it, jnp.logical_or(hard, hard_i),
-                    t_active)
-
-        x, t, outer_it, n_newton, hard, t_active = lax.while_loop(
-            outer_cond, outer_body,
-            (x0, jnp.asarray(t0, dtype), jnp.asarray(0), jnp.asarray(0),
-             jnp.asarray(False), jnp.asarray(t0, dtype)))
-
-        t_solved = t / pars.mu
-        d_exit = margins(x)
-        lam = 1.0 / (t_active * d_exit)           # local shard of the duals
-        bad_exit = lax.psum(
-            jnp.logical_not(jnp.logical_and(
-                jnp.all(jnp.isfinite(d_exit)),
-                jnp.all(d_exit > -100.0 * eps * (1.0 + jnp.abs(ub)))
-            )).astype(dtype), axis)
-        healthy = jnp.logical_and(jnp.all(jnp.isfinite(x)), bad_exit == 0)
-        gap = jnp.where(healthy, m / t_solved, jnp.asarray(jnp.nan, dtype))
-        eq_gap = (jnp.linalg.norm(b_ - A_ @ x) if has_eqs
-                  else jnp.asarray(0.0, dtype))
-        stalled = jnp.logical_or(hard, jnp.logical_not(healthy))
-        maxed = outer_it >= pars.outer_max_iter
-        return x, lam, gap, eq_gap, n_newton, maxed, stalled
+        return _run_msharded_barrier(
+            obj, pars, x0, t0, axis=axis, m=m, has_eqs=has_eqs,
+            A_=A_, b_=b_, fgh=fgh, ls_margins=ls_margins,
+            exit_margins=margins, exit_scale=ub)
 
     sharded = shard_map(
         local, mesh=mesh,
@@ -225,15 +259,7 @@ def barrier_solve_msharded(
         out_specs=(P(), P(axis), P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    x, lam, gap, eq_gap, iters, maxed, stalled = jax.jit(sharded)(
-        G, c, ub, x0)
-    nan = jnp.asarray(jnp.nan, dtype)
-    return Solution(
-        x=x, lam=lam, nu=jnp.full((p,), jnp.nan, dtype),
-        newton_decrement=nan, duality_gap=gap, eq_gap=eq_gap,
-        norm_grad=nan, norm_dual_residual=nan, iters=iters,
-        maxed_out=maxed, stalled=stalled,
-    )
+    return _msharded_solution(jax.jit(sharded)(G, c, ub, x0), p, dtype)
 
 
 def _check_shardable(cnts, n_dev: int):
@@ -309,16 +335,6 @@ def barrier_solve_msharded_cnts(
     dtype = x0.dtype
     has_eqs = eqs is not None
     p = eqs.p if has_eqs else 0
-    eps = jnp.finfo(dtype).eps
-    tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 50.0 * eps)
-    eq_tol = jnp.maximum(jnp.asarray(pars.tol, dtype), 100.0 * eps)
-    t_max = 10.0 * pars.mu * m / pars.tol
-    n_ls = pars.ls_max_steps
-    kk = jnp.arange(n_ls)
-    expo = jnp.where(kk < 32, kk, 32 + 3 * (kk - 32)).astype(dtype)
-    ls_ts = jnp.asarray(pars.beta, dtype) ** expo
-    hard_stall_gap = jnp.sqrt(tol)
-
     if has_eqs:
         A_, b_ = eqs.A, eqs.b
     else:
@@ -339,101 +355,15 @@ def barrier_solve_msharded_cnts(
                 + cl.whess(x, inv_d), axis)
             return val, grad, hess
 
-        def newton_step(t, x):
-            val, g, H = fgh(t, x)
-            if has_eqs:
-                dx, _, _ = kkt_solve(H, A_, g, b_ - A_ @ x,
-                                     method=pars.kkt_method,
-                                     refine=pars.kkt_refine,
-                                     delta=pars.chol_delta,
-                                     tol=pars.tol_eq_solve)
-            else:
-                dx, _ = sym_solve(H, -g, method=pars.kkt_method,
-                                  refine=pars.kkt_refine,
-                                  delta=pars.chol_delta,
-                                  tol=pars.tol_eq_solve)
-            q = dx @ g
-            dec = -q / 2.0
+        def ls_margins(x, dx, ls_ts):
+            # generic blocks: quadratic rows are not linear in the step,
+            # so the candidates re-evaluate the LOCAL margins
+            return jax.vmap(lambda s: cl.margins(x + s * dx))(ls_ts)
 
-            # line search: per-candidate LOCAL margins (generic blocks),
-            # one (n_ls,) psum for the log sums + one for feasibility
-            ds = jax.vmap(lambda s: cl.margins(x + s * dx))(ls_ts)
-            ok_loc = jnp.all(ds > 0, axis=1)
-            bad = lax.psum((~ok_loc).astype(dtype), axis)
-            ok = bad == 0
-            logs_loc = jnp.sum(jnp.log(jnp.where(ds > 0, ds, 1.0)), axis=1)
-            logs = lax.psum(logs_loc, axis)
-            fs = jax.vmap(lambda s: t * obj.value(x + s * dx))(ls_ts) - logs
-            fs = jnp.where(ok, fs, jnp.inf)
-            armijo = fs <= val + pars.alpha * ls_ts * q
-            acc = jnp.logical_and(ok, armijo)
-            any_acc = jnp.any(acc)
-            s = jnp.where(any_acc, ls_ts[jnp.argmax(acc)], 0.0)
-            take = jnp.logical_and(jnp.logical_and(dec > tol, any_acc),
-                                   jnp.all(jnp.isfinite(dx)))
-            x_new = jnp.where(take, x + s * dx, x)
-            stalled = jnp.logical_and(dec > tol, jnp.logical_not(take))
-            return x_new, dec, stalled
-
-        def inner(t, x):
-            def cond(carry):
-                x, dec, it, stalled, _ = carry
-                go = jnp.logical_and(dec > tol, it < pars.max_iter)
-                return jnp.logical_and(go, jnp.logical_not(stalled))
-
-            def body(carry):
-                x, _, it, _, hard = carry
-                x, dec, stalled = newton_step(t, x)
-                hard = jnp.logical_or(
-                    hard, jnp.logical_and(stalled, m / t > hard_stall_gap))
-                return x, dec, it + 1, stalled, hard
-
-            big = jnp.asarray(jnp.inf, dtype)
-            x, dec, it, _, hard = lax.while_loop(
-                cond, body, (x, big, jnp.asarray(0), jnp.asarray(False),
-                             jnp.asarray(False)))
-            return x, it, hard
-
-        def outer_cond(carry):
-            x, t, it, n_newton, hard, t_active = carry
-            gap = m / (t / pars.mu)
-            eq_ok = (jnp.linalg.norm(b_ - A_ @ x) < eq_tol if has_eqs
-                     else jnp.asarray(True))
-            go = jnp.logical_not(jnp.logical_and(gap < pars.tol, eq_ok))
-            go = jnp.logical_and(go, it < pars.outer_max_iter)
-            return jnp.logical_and(go, t <= t_max)
-
-        def outer_body(carry):
-            x, t, it, n_newton, hard, t_active = carry
-            x_new, inner_it, hard_i = inner(t, x)
-            moved = jnp.any(x_new != x)
-            t_active = jnp.where(moved, t, t_active)
-            # .astype: traced pars.mu loses its weak type through the
-            # shard_map closure — without the pin the f32 t carry promotes
-            return (x_new, (pars.mu * t).astype(t.dtype), it + 1,
-                    n_newton + inner_it, jnp.logical_or(hard, hard_i),
-                    t_active)
-
-        x, t, outer_it, n_newton, hard, t_active = lax.while_loop(
-            outer_cond, outer_body,
-            (x0, jnp.asarray(t0, dtype), jnp.asarray(0), jnp.asarray(0),
-             jnp.asarray(False), jnp.asarray(t0, dtype)))
-
-        t_solved = t / pars.mu
-        d_exit = cl.margins(x)
-        lam = 1.0 / (t_active * d_exit)
-        bad_exit = lax.psum(
-            jnp.logical_not(jnp.logical_and(
-                jnp.all(jnp.isfinite(d_exit)),
-                jnp.all(d_exit > -100.0 * eps * (1.0 + jnp.abs(cl.ub)))
-            )).astype(dtype), axis)
-        healthy = jnp.logical_and(jnp.all(jnp.isfinite(x)), bad_exit == 0)
-        gap = jnp.where(healthy, m / t_solved, jnp.asarray(jnp.nan, dtype))
-        eq_gap = (jnp.linalg.norm(b_ - A_ @ x) if has_eqs
-                  else jnp.asarray(0.0, dtype))
-        stalled = jnp.logical_or(hard, jnp.logical_not(healthy))
-        maxed = outer_it >= pars.outer_max_iter
-        return x, lam, gap, eq_gap, n_newton, maxed, stalled
+        return _run_msharded_barrier(
+            obj, pars, x0, t0, axis=axis, m=m, has_eqs=has_eqs,
+            A_=A_, b_=b_, fgh=fgh, ls_margins=ls_margins,
+            exit_margins=cl.margins, exit_scale=cl.ub)
 
     sharded = shard_map(
         local, mesh=mesh,
@@ -441,14 +371,7 @@ def barrier_solve_msharded_cnts(
         out_specs=(P(), P(axis), P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    x, lam, gap, eq_gap, iters, maxed, stalled = jax.jit(sharded)(cnts, x0)
-    nan = jnp.asarray(jnp.nan, dtype)
-    return Solution(
-        x=x, lam=lam, nu=jnp.full((p,), jnp.nan, dtype),
-        newton_decrement=nan, duality_gap=gap, eq_gap=eq_gap,
-        norm_grad=nan, norm_dual_residual=nan, iters=iters,
-        maxed_out=maxed, stalled=stalled,
-    )
+    return _msharded_solution(jax.jit(sharded)(cnts, x0), p, dtype)
 
 
 @mxu_exact
