@@ -60,7 +60,7 @@ def solve_stats(sol) -> dict:
     }
 
 
-def kl_gap_certificate_np(X, H, u, steps: int = 10):
+def kl_gap_certificate_np(X, H, u, steps: int = 10, prior=None):
     """Batched HOST-side (numpy f64) duality-gap certificate for KL
     instances — the benchmark's honesty check, outside any timed region.
 
@@ -78,18 +78,25 @@ def kl_gap_certificate_np(X, H, u, steps: int = 10):
     X = np.maximum(X, 1e-30)
     Hf = np.asarray(H, np.float64)
     batch, n = X.shape
+    # general prior (None = the reference's uniform): R = p/e and
+    # log(n x) becomes log x - log p throughout
+    if prior is None:
+        logp = np.full(n, -np.log(n))
+    else:
+        logp = np.log(np.asarray(prior, np.float64))
+    R = np.exp(logp) / np.e
     k = Hf.shape[0]
     dim = k + 1
     B = np.vstack([Hf, np.ones((1, n))])           # (k+1, n)
     W = np.column_stack([np.asarray(u, np.float64),
                          np.ones(batch)])          # (batch, k+1)
-    C = -(1.0 + np.log(n * X))
+    C = -(1.0 + np.log(X) - logp[None, :])
     Z = C @ np.linalg.pinv(B.T).T                  # lstsq fit
     Z[:, :k] = np.clip(Z[:, :k], 0.0, None)
 
     def neg_g(Z_):
         return (np.sum(W * Z_, axis=1)
-                + np.sum(np.exp(-(Z_ @ B)) / (n * np.e), axis=1))
+                + np.sum(np.exp(-(Z_ @ B)) * R[None, :], axis=1))
 
     def project(Z_):
         out = Z_.copy()
@@ -104,7 +111,7 @@ def kl_gap_certificate_np(X, H, u, steps: int = 10):
         # active-set freeze can see it (see duality._polish_dual)
         tiny = 64.0 * eps * (1.0 + np.max(np.abs(Z), axis=1, keepdims=True))
         Z[:, :k] = np.where(Z[:, :k] <= tiny, 0.0, Z[:, :k])
-        Y = np.exp(-(Z @ B)) / (n * np.e)
+        Y = np.exp(-(Z @ B)) * R[None, :]
         grad = W - Y @ B.T
         at_bound = np.zeros((batch, dim), bool)
         at_bound[:, :k] = (Z[:, :k] <= 0.0) & (grad[:, :k] > 0.0)
@@ -131,7 +138,7 @@ def kl_gap_certificate_np(X, H, u, steps: int = 10):
             Z[acc] = Zt[acc]
             f0[acc] = ft[acc]
             took |= acc
-    primal = np.sum(X * np.log(n * X), axis=1)
+    primal = np.sum(X * (np.log(X) - logp[None, :]), axis=1)
     return primal - (-f0)
 
 

@@ -68,11 +68,15 @@ def _small_solve(A: jax.Array, b: jax.Array) -> jax.Array:
             (c01 * b[0] + c11 * b[1] + c21 * b[2]) / det,
             (c02 * b[0] + c12 * b[1] + c22 * b[2]) / det,
         ])
+    # floor for pathological (masked-singular) instances; f32's tiny, NOT
+    # the dtype's own: TPU f64 emulation (float32x2) has only the f32
+    # exponent range, so an f64 tiny (2e-308) silently underflows to 0 on
+    # device and the floor stops flooring
+    tiny = jnp.asarray(float(jnp.finfo(jnp.float32).tiny), A.dtype)
     if dim <= 8:
         # unrolled Cholesky A = L L' + forward/back substitution; max(.,
-        # tiny) keeps pathological (masked-singular) instances finite —
-        # their garbage steps are rejected by the callers' line searches
-        tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
+        # tiny) keeps garbage steps finite — the callers' line searches
+        # reject them
         L = {}
         for j in range(dim):
             d = A[j, j]
@@ -97,7 +101,6 @@ def _small_solve(A: jax.Array, b: jax.Array) -> jax.Array:
                 s = s - L[(p, i)] * x[p]
             x[i] = s / L[(i, i)]
         return jnp.stack(x)
-    tiny = jnp.asarray(jnp.finfo(A.dtype).tiny, A.dtype)
     Lc = jnp.linalg.cholesky(A + tiny * jnp.eye(dim, dtype=A.dtype))
     yv = jax.scipy.linalg.solve_triangular(Lc, b, lower=True)
     return jax.scipy.linalg.solve_triangular(Lc.T, yv, lower=False)

@@ -5,8 +5,12 @@ application (README.md:7-8):
 
     Q* = argmin_Q  d_KL(Q, P)   s.t.   H Q <= u,   A Q = r,
 
-with P the uniform distribution on n atoms,
-d_KL(Q,P) = sum_j q_j (log q_j - log p_j) = x . log(n x).
+with d_KL(Q,P) = sum_j q_j (log q_j - log p_j).  The reference supports
+ONLY the uniform prior P = 1/n (Dist_KL.scala:218,259 — then
+d_KL = x . log(n x)); this implementation additionally accepts a general
+strictly positive prior (``DistKL.create(..., prior=p)``) on every route —
+the dual closed forms only change through R = p/e, and the primal Hessian
+diag(1/x) is prior-independent.
 
 Both routes of the reference are provided:
 
@@ -46,16 +50,27 @@ from ..tree import mxu_exact, pytree_dataclass, static_field
 
 @pytree_dataclass
 class KLObjective:
-    """d_KL(x, uniform) = x . log(n x); grad 1 + log(nx); hess diag(1/x)
-    (Dist_KL.scala:223-239)."""
+    """d_KL(x, p) = x . (log x - log p); grad 1 + log x - log p;
+    hess diag(1/x) (Dist_KL.scala:223-239).  ``log_prior`` None means the
+    reference's uniform prior p = 1/n (its Dist_KL supports ONLY that,
+    Dist_KL.scala:218); a general (n,) log-prior is a capability beyond
+    the reference — the Hessian, and hence every solver code path, is
+    prior-independent."""
 
     n: int = static_field()
+    log_prior: jax.Array | None = None
+
+    def _logp(self, x):
+        if self.log_prior is None:
+            return -jnp.log(jnp.asarray(float(self.n), x.dtype))
+        return self.log_prior.astype(x.dtype)
 
     def value(self, x):
-        return x @ jnp.log(self.n * x)
+        return jnp.einsum("n,n->", x, jnp.log(x) - self._logp(x),
+                          precision="highest")
 
     def grad(self, x):
-        return 1.0 + jnp.log(self.n * x)
+        return 1.0 + jnp.log(x) - self._logp(x)
 
     def hess(self, x):
         return jnp.diag(1.0 / x)
@@ -99,7 +114,7 @@ class _NegDualObjective:
 
 @mxu_exact
 def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8,
-                value_band_eps: float | None = None):
+                value_band_eps: float | None = None, prior=None):
     """MEASURED duality-gap certificate for the KL problem at iterate ``x``.
 
     ``H`` (k, n) / ``u`` (k,) are the scenario inequality rows; ``A`` (p, n) /
@@ -130,12 +145,20 @@ def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8,
     k = H.shape[0]
     B = jnp.concatenate([H, A], axis=0)          # (k+p, n)
     w = jnp.concatenate([u, b])
-    R = jnp.full((n,), 1.0 / (n * np.e), dtype)
+    # general prior p (beyond the uniform-only reference): R = p/e and the
+    # stationarity/objective terms swap log(n x) for log x - log p
+    if prior is None:
+        logp = -jnp.log(jnp.asarray(float(n), dtype))
+        R = jnp.full((n,), 1.0 / (n * np.e), dtype)
+    else:
+        p_ = jnp.asarray(prior, dtype)
+        logp = jnp.log(p_)
+        R = p_ / np.e
     dim = B.shape[0]
     mask = jnp.arange(dim) < k
 
-    # init: least-squares fit of B'z = -(1 + log(n x)), lam clamped >= 0
-    c = -(1.0 + jnp.log(n * x))
+    # init: least-squares fit of B'z = -(1 + log x - log p), lam >= 0
+    c = -(1.0 + jnp.log(x) - logp)
     BBt = jnp.einsum("in,jn->ij", B, B, precision="highest")
     BBt = BBt + (10 * jnp.finfo(dtype).eps
                  * jnp.mean(jnp.abs(jnp.diag(BBt)))
@@ -151,7 +174,7 @@ def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8,
     z = _polish_dual(neg_dual, z, num_ineq=k, steps=polish_steps,
                      value_band_eps=value_band_eps)
     dual_val = -neg_dual.value(z)
-    primal_val = jnp.einsum("n,n->", x, jnp.log(n * x),
+    primal_val = jnp.einsum("n,n->", x, jnp.log(x) - logp,
                             precision="highest")
     return primal_val - dual_val, z
 
@@ -179,7 +202,14 @@ def _kl_warm_polish(B, w, R, z, k, steps: int):
     dtype = z.dtype
     eps = jnp.finfo(dtype).eps
     ineq = jnp.arange(dim) < k
-    max_e = 0.9 * jnp.log(jnp.finfo(dtype).max)
+    # HOST-computed clip bound: jnp.log(finfo(f64).max) would materialize
+    # 1.8e308 on the device, where TPU's float32x2 f64 emulation has only
+    # the f32 exponent range — in EAGER mode (no XLA constant folding) the
+    # constant overflows to inf and the whole polish NaNs out silently
+    max_e = jnp.asarray(0.9 * float(np.log(np.finfo(np.float64).max)
+                                    if dtype == jnp.float64
+                                    else np.log(np.finfo(np.float32).max)),
+                        dtype)
 
     def step(z, _):
         Btz = jnp.einsum("in,i->n", B, z, precision="highest")
@@ -233,7 +263,7 @@ class KLCertificate:
     nu: jax.Array         # polished equality duals (f64)
 
 
-def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None):
+def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None, prior=None):
     """F64 finishing pass: refine a KL iterate to the reference's WRITTEN
     1e-8 duality-gap contract and certify it with measured residuals.
 
@@ -277,6 +307,13 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None):
     k = H.shape[0]
     B = jnp.concatenate([H64, A64], axis=0)
     w = jnp.concatenate([u64, b64])
+    if prior is None:
+        logp = -jnp.log(jnp.asarray(float(n), f64))
+        R = jnp.full((n,), 1.0 / (n * np.e), f64)
+    else:
+        p64 = jnp.asarray(prior, f64)
+        logp = jnp.log(p64)
+        R = p64 / np.e
     if z0 is None:
         # TPU f64 is EMULATED: exp/log-heavy values carry ~1e-12 relative
         # error (measured on v5e), far above native-f64 rounding.  The
@@ -286,19 +323,20 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None):
         band = 3e-11 if on_tpu else None
         gap0, z = kl_dual_gap(H64, u64, A64, b64, x64,
                               polish_steps=polish_steps,
-                              value_band_eps=band)
+                              value_band_eps=band, prior=prior)
     else:
-        R = jnp.full((n,), 1.0 / (n * np.e), f64)
         z = _kl_warm_polish(B, w, R, z0.astype(f64), k,
                             steps=polish_steps)
         xs = jnp.maximum(x64, jnp.asarray(1e-30, f64))
-        gap0 = (xs @ jnp.log(n * xs)
+        gap0 = (jnp.einsum("n,n->", xs, jnp.log(xs) - logp,
+                           precision="highest")
                 + (w @ z + jnp.sum(R * jnp.exp(-jnp.einsum(
                     "in,i->n", B, z, precision="highest")))))
     y = jnp.exp(-jnp.einsum("in,i->n", B, z, precision="highest")
-                - 1.0 - jnp.log(jnp.asarray(float(n), f64)))
+                - 1.0 + logp)
     x_ref = y / jnp.sum(y)
-    f_ref = x_ref @ jnp.log(n * x_ref)
+    f_ref = jnp.einsum("n,n->", x_ref, jnp.log(x_ref) - logp,
+                       precision="highest")
     gap_ref = f_ref + (w @ z + jnp.sum(y))   # f(x_ref) - g(z)
 
     def residuals(xc):
@@ -349,10 +387,17 @@ class DistKL:
     A: jax.Array   # (mE, n) extra equalities, mE may be 0
     r: jax.Array   # (mE,)
     n: int = static_field()
+    prior: jax.Array | None = None   # (n,) prior p; None = uniform
 
     @classmethod
     def create(cls, n: int, H=None, u=None, A=None, r=None,
-               dtype=None) -> "DistKL":
+               dtype=None, prior=None) -> "DistKL":
+        """``prior`` (optional): a strictly positive (n,) weight vector p
+        (normalized here) generalizing the objective to d_KL(Q, p) — the
+        reference's Dist_KL fixes p uniform (Dist_KL.scala:218,259); all
+        routes (BR/PD/BR_fast/dual/dual_fast/dual_fused/certified) accept
+        a general prior, only the fused PRIMAL kernel falls back to
+        BR_fast."""
         # default to the INPUT arrays' joint dtype (f32 data stays f32 even
         # under jax_enable_x64, which the certified route requires) — a
         # canonical-float default would silently upcast to f64 and push the
@@ -377,12 +422,22 @@ class DistKL:
             raise ValueError("need at least one constraint (H,u or A,r)")
         if H.shape[1] != n or A.shape[1] != n:
             raise ValueError("H and A must have n columns")
-        return cls(H=H, u=u, A=A, r=r, n=n)
+        if prior is not None:
+            prior = jnp.asarray(prior, dtype)
+            if prior.shape != (n,):
+                raise ValueError(f"prior must have shape ({n},), got "
+                                 f"{prior.shape}")
+            if not isinstance(prior, jax.core.Tracer) and not bool(
+                    jnp.all(prior > 0)):
+                raise ValueError("prior must be strictly positive")
+            prior = prior / jnp.sum(prior)
+        return cls(H=H, u=u, A=A, r=r, n=n, prior=prior)
 
     # ------------------------------------------------------------ primal side
     @property
     def objective(self) -> KLObjective:
-        return KLObjective(n=self.n)
+        lp = None if self.prior is None else jnp.log(self.prior)
+        return KLObjective(n=self.n, log_prior=lp)
 
     @property
     def equalities(self) -> EqualityConstraint:
@@ -416,14 +471,20 @@ class DistKL:
         """mI + 1 + mE (Dist_KL.scala:115-116)."""
         return self.H.shape[0] + 1 + self.A.shape[0]
 
+    def _R(self, dtype=None) -> jax.Array:
+        """Dual constant R = p/e (uniform: 1/(n e), Dist_KL.scala:131)."""
+        dtype = dtype or self.H.dtype
+        if self.prior is None:
+            return jnp.full((self.n,), 1.0 / (self.n * np.e), dtype)
+        return self.prior.astype(dtype) / np.e
+
     def neg_dual_objective(self) -> _NegDualObjective:
         n = self.n
         dtype = self.H.dtype
         ones = jnp.ones((1, n), dtype)
         B = jnp.concatenate([self.H, ones, self.A], axis=0)
         w = jnp.concatenate([self.u, jnp.ones((1,), dtype), self.r])
-        R = jnp.full((n,), 1.0 / (n * np.e), dtype)
-        return _NegDualObjective(B=B, w=w, R=R)
+        return _NegDualObjective(B=B, w=w, R=self._R())
 
     def primal_optimum(self, z: jax.Array) -> jax.Array:
         """Q(z) = R * exp(-B'z) (Dist_KL.scala:171), renormalized to
@@ -466,8 +527,7 @@ class DistKL:
         x = self.primal_optimum(z)
         # f(x) - g(z), measured; highest precision: the bf16-MXU default
         # (eps ~8e-3) would put ~1e-3 noise on the certificate itself
-        gap = jnp.einsum("n,n->", x, jnp.log(self.n * x),
-                         precision="highest") + d.value(z)
+        gap = self.objective.value(x) + d.value(z)
         nan = jnp.asarray(jnp.nan, dtype)
         grad_norm = jnp.linalg.norm(d.grad(z))
         eps = jnp.finfo(dtype).eps
@@ -522,10 +582,11 @@ class DistKL:
         # entries (bench, solve_certified_batch) call kl_dual_fused
         # themselves with bt=256.
         on_tpu = jax.devices()[0].platform == "tpu"
+        lp = None if self.prior is None else jnp.log(self.prior)
         x, gap, z = kl_dual_fused(self.H[None], self.u[None],
                                   self.A[None] if m_eq > 0 else None,
                                   self.r[None] if m_eq > 0 else None,
-                                  n_steps=steps,
+                                  log_prior=lp, n_steps=steps,
                                   z0=float(pars.dual_start),
                                   interpret=not on_tpu, bt=8)
         x, gap, z = x[0], gap[0], z[0]
@@ -565,7 +626,8 @@ class DistKL:
         eqs = self.equalities
         cert = kl_certify(self.H, self.u, eqs.A, eqs.b, sol.x,
                           polish_steps=polish_steps,
-                          z0=jnp.concatenate([sol.lam, sol.nu]))
+                          z0=jnp.concatenate([sol.lam, sol.nu]),
+                          prior=self.prior)
         nan = jnp.asarray(jnp.nan, jnp.float64)
         stalled = jnp.logical_or(
             jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
@@ -609,7 +671,9 @@ class DistKL:
         else:
             Ab = rb = None
         if k + m_eq >= 1 and k + 1 + m_eq <= 5:
-            xs, _, zs = kl_dual_fused(Hb, u, Ab, rb, n_steps=steps,
+            lp = None if self.prior is None else jnp.log(self.prior)
+            xs, _, zs = kl_dual_fused(Hb, u, Ab, rb, log_prior=lp,
+                                      n_steps=steps,
                                       z0=float(pars.dual_start),
                                       interpret=not on_tpu,
                                       bt=256 if on_tpu else 8)
@@ -633,7 +697,7 @@ class DistKL:
 
         def certify_one(ui, ri, xi, zi):
             bi = jnp.concatenate([jnp.ones((1,), dtype), ri])
-            cert = kl_certify(self.H, ui, eq_A, bi, xi,
+            cert = kl_certify(self.H, ui, eq_A, bi, xi, prior=self.prior,
                               polish_steps=polish_steps, z0=zi)
             return cert
 
@@ -720,12 +784,14 @@ class DistKL:
                               method=inner, pars=pars)
         if method == "fused":
             # whole solve in one Pallas kernel (ops/pallas_kl.py).  The
-            # kernel's closed-form algebra covers 1 <= k <= 2 scenario rows
-            # and the sum-to-one equality only; any other valid DistKL shape
-            # silently falls back to the structured XLA path (BR_fast), so
-            # 'fused' never raises on a well-formed problem.
+            # kernel's closed-form algebra covers 1 <= k <= 2 scenario rows,
+            # the sum-to-one equality and the UNIFORM prior only; any other
+            # valid DistKL shape silently falls back to the structured XLA
+            # path (BR_fast), so 'fused' never raises on a well-formed
+            # problem.
             k = self.H.shape[0]
-            if self.A.shape[0] != 0 or not (1 <= k <= 2):
+            if (self.A.shape[0] != 0 or not (1 <= k <= 2)
+                    or self.prior is not None):
                 method = "BR_fast"
             else:
                 from ..ops.pallas_kl import (fused_final_t, fused_n_outer,
@@ -754,7 +820,8 @@ class DistKL:
                 # (not the central-path constant m/t — see kl_dual_gap)
                 A_full = jnp.ones((1, self.n), dtype)
                 b_full = jnp.ones((1,), dtype)
-                gap, z = kl_dual_gap(self.H, self.u, A_full, b_full, x)
+                gap, z = kl_dual_gap(self.H, self.u, A_full, b_full, x,
+                                     prior=self.prior)
                 lam = jnp.concatenate([z[:k], 1.0 / (t_final * x)])
                 nan = jnp.asarray(jnp.nan, dtype)
                 eps = jnp.finfo(dtype).eps

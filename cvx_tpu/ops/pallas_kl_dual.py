@@ -7,7 +7,7 @@ kernel executes the ENTIRE fixed-schedule active-set projected-Newton dual
 solve inside one ``pallas_call``: each grid program holds a (bt, n) tile of
 instances in VMEM and iterates
 
-    y      = exp(-(B'z)) / (n e)                       (bt, n)
+    y      = p exp(-(B'z) - 1)   (uniform p: 1/(n e))  (bt, n)
     grad   = w - B y                                   dim x (bt, 1)
     hess   = B diag(y) B'  (unrolled scalar Cholesky)  dim(dim+1)/2 x (bt,1)
     dz     = -Hf^-1 gf       (bound-active coords frozen)
@@ -112,11 +112,12 @@ def _solve_small(m, gf, dim, dtype):
     return dz
 
 
-def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, z_ref, *, n: int, k: int,
-                    m_eq: int, n_valid: int, n_steps: int, z0: float,
-                    n_ls: int, eps: float):
+def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
+                    n: int, k: int, m_eq: int, n_valid: int, n_steps: int,
+                    z0: float, n_ls: int, eps: float):
     bs = hs_ref[...]                                 # (bt, k + m_eq, n)
     wu = u_ref[...]                                  # (bt, k + m_eq)
+    logp = logp_ref[...]                             # (1, n) log prior
     dtype = bs.dtype
     bt = bs.shape[0]
     dim = k + 1 + m_eq
@@ -134,8 +135,6 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, z_ref, *, n: int, k: int,
           + [wu[:, k + j:k + j + 1] for j in range(m_eq)])
     valid = (lax.broadcasted_iota(jnp.int32, (1, n), 1) < n_valid
              ).astype(dtype)                         # (1, n)
-    nv = jnp.asarray(float(n_valid), dtype)
-    log_nv = jnp.log(nv)
 
     def rsum(a):
         return jnp.sum(a * valid, axis=1, keepdims=True)     # (bt, 1)
@@ -149,8 +148,9 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, z_ref, *, n: int, k: int,
         return out
 
     def y_of(z):
-        # y = exp(-(B'z)) / (n e), masked to valid lanes
-        return jnp.exp(-(btz_of(z)) - 1.0 - log_nv) * valid
+        # y = p exp(-(B'z) - 1), masked to valid lanes; logp is the
+        # shared log-prior row (uniform: the constant -log n)
+        return jnp.exp(-(btz_of(z)) - 1.0 + logp) * valid
 
     def val_of(z, y):
         v = rsum(y)
@@ -343,9 +343,9 @@ def _kl_dual_kernel(hs_ref, u_ref, x_ref, gap_ref, z_ref, *, n: int, k: int,
     sy = rsum(y)
     x = y / sy
     x_ref[...] = x * valid
-    # measured gap f(x) - g(z) = x.log(n x) + (w.z + sum y)
+    # measured gap f(x) - g(z) = x.(log x - log p) + (w.z + sum y)
     logx = jnp.log(jnp.where(valid > 0, jnp.where(x > 0, x, 1.0), 1.0))
-    f_primal = rsum(x * (log_nv + logx))
+    f_primal = rsum(x * (logx - logp))
     gap_ref[...] = f_primal + val_of(z, y)
     # the dual iterate itself: the f64 finishing pass (models/dist_kl.py
     # kl_certify) warm-starts from it with the active set already settled
@@ -360,6 +360,7 @@ def kl_dual_fused(
     u: jax.Array,    # (B, k)
     A: jax.Array | None = None,   # (B, m_eq, n) extra equality rows
     r: jax.Array | None = None,   # (B, m_eq)
+    log_prior: jax.Array | None = None,   # (n,) shared log p, None=uniform
     *,
     n_steps: int = 16,
     z0: float = 1e-3,
@@ -377,6 +378,10 @@ def kl_dual_fused(
     Constraint set: Hs x <= u (k >= 0 rows), sum-to-one, and A x = r
     (m_eq >= 0 extra equality rows); dual dim = k + 1 + m_eq <= 5.  Use
     DistKL.solve(method='dual_fast') for larger shapes.
+    ``log_prior`` generalizes the objective to d_KL(x, p) for a SHARED
+    (n,) prior p (beyond the reference, whose Dist_KL fixes p uniform —
+    Dist_KL.scala:218): the dual closed form only changes through
+    R = p/e, i.e. one extra broadcast row in VMEM.
     """
     B, k, n = Hs.shape
     if (A is None) != (r is None):
@@ -385,6 +390,8 @@ def kl_dual_fused(
     if A is None:
         A = jnp.zeros((B, 0, n), Hs.dtype)
         r = jnp.zeros((B, 0), Hs.dtype)
+    if log_prior is None:
+        log_prior = jnp.full((n,), -jnp.log(float(n)), Hs.dtype)
     m_eq = A.shape[1]
     dim = k + 1 + m_eq
     if not (k + m_eq >= 1 and dim <= 5):
@@ -398,13 +405,15 @@ def kl_dual_fused(
     # x32 mode would silently downcast their constants.
     if Hs.dtype == jnp.float32:
         with jax.enable_x64(False):
-            return _kl_dual_fused_x32(Hs, u, A, r, n_steps=n_steps, z0=z0,
+            return _kl_dual_fused_x32(Hs, u, A, r, log_prior,
+                                      n_steps=n_steps, z0=z0,
                                       n_ls=n_ls, bt=bt, interpret=interpret)
-    return _kl_dual_fused_x32(Hs, u, A, r, n_steps=n_steps, z0=z0,
-                              n_ls=n_ls, bt=bt, interpret=interpret)
+    return _kl_dual_fused_x32(Hs, u, A, r, log_prior, n_steps=n_steps,
+                              z0=z0, n_ls=n_ls, bt=bt, interpret=interpret)
 
 
-def _kl_dual_fused_x32(Hs, u, A, r, *, n_steps, z0, n_ls, bt, interpret):
+def _kl_dual_fused_x32(Hs, u, A, r, log_prior, *, n_steps, z0, n_ls, bt,
+                       interpret):
     B, k, n = Hs.shape
     m_eq = A.shape[1]
     dtype = Hs.dtype
@@ -422,6 +431,9 @@ def _kl_dual_fused_x32(Hs, u, A, r, *, n_steps, z0, n_ls, bt, interpret):
     rhs_p = rhs_pad.at[:B, :k].set(u)
     if m_eq > 0:
         rhs_p = rhs_p.at[:B, k:].set(r)
+    # shared (1, npad) log-prior row, zero on pad lanes (masked in-kernel)
+    logp_p = jnp.zeros((1, npad), dtype).at[0, :n].set(
+        jnp.asarray(log_prior, dtype))
 
     grid = (bpad // bt,)
     dim = k + 1 + m_eq
@@ -437,10 +449,11 @@ def _kl_dual_fused_x32(Hs, u, A, r, *, n_steps, z0, n_ls, bt, interpret):
         in_specs=[
             pl.BlockSpec((bt, k + m_eq, npad), lambda i: (i, 0, 0)),
             pl.BlockSpec((bt, k + m_eq), lambda i: (i, 0)),
+            pl.BlockSpec((1, npad), lambda i: (0, 0)),
         ],
         out_specs=(pl.BlockSpec((bt, npad), lambda i: (i, 0)),
                    pl.BlockSpec((bt, 1), lambda i: (i, 0)),
                    pl.BlockSpec((bt, dim), lambda i: (i, 0))),
         interpret=interpret,
-    )(rows_p, rhs_p)
+    )(rows_p, rhs_p, logp_p)
     return x[:B, :n], gap[:B, 0], z[:B]

@@ -31,3 +31,14 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound the live compiled-program count: with the whole suite in one
+    process the XLA CPU compiler segfaulted (reproducibly, in
+    backend_compile) after ~250 accumulated compilations; dropping the
+    executable cache between modules keeps it well below that.  Costs a
+    few re-compiles of shared solvers per module (~seconds)."""
+    yield
+    jax.clear_caches()

@@ -1073,3 +1073,101 @@ class TestInfraReviewFixes:
         hist = barrier_history(prob.objective, prob.inequalities, x0,
                                eqs=prob.equalities, max_stages=25)
         assert hist[-1]["gap"] < 1e-6
+
+
+class TestGeneralPrior:
+    """Beyond-reference capability: d_KL(Q, p) with a general strictly
+    positive prior p (the reference's Dist_KL is uniform-only,
+    Dist_KL.scala:218,259).  The dual closed forms change only through
+    R = p/e; every route must agree."""
+
+    def _prior(self, n, key=jax.random.PRNGKey(42)):
+        w = jnp.exp(0.7 * jax.random.normal(key, (n,)))
+        return w / jnp.sum(w)
+
+    def test_inactive_constraints_recover_prior(self):
+        """With only inactive inequalities, argmin d_KL(Q, p) s.t.
+        sum Q = 1 is exactly Q = p — on the dual, primal-barrier and
+        structured routes alike."""
+        n = 16
+        p = self._prior(n)
+        I_A = np.zeros(n); I_A[:4] = 1.0
+        prob = DistKL.create(n, H=jnp.asarray(I_A)[None],
+                             u=jnp.asarray([0.999]), prior=p)  # inactive
+        for method in ("dual_fast", "dual_fused", "BR", "BR_fast"):
+            sol = prob.solve(method=method)
+            err = float(jnp.max(jnp.abs(sol.x - p)))
+            assert err < 5e-5, (method, err)
+            assert not bool(sol.stalled), method
+
+    def test_active_constraint_exponential_tilt(self):
+        """With an ACTIVE bound E_Q[1_A] >= a > p(A), the optimum is the
+        exponentially tilted prior q_j = p_j e^{lam h_j} / Z on A
+        (h = 1_A): verify the analytic form from the returned multiplier
+        and the cross-route agreement."""
+        n = 20
+        p = self._prior(n)
+        I_A = np.zeros(n); I_A[:5] = 1.0
+        a = float(jnp.sum(p[:5])) + 0.25          # force activity
+        prob = DistKL.create(n, H=jnp.asarray(-I_A)[None],
+                             u=jnp.asarray([-a]), prior=p)
+        sol_d = prob.solve(method="dual_fast")
+        sol_b = prob.solve(method="BR")
+        assert float(jnp.max(jnp.abs(sol_d.x - sol_b.x))) < 2e-5
+        assert abs(float(jnp.sum(sol_d.x[:5])) - a) < 1e-5   # active
+        # analytic tilt: q = p exp(lam 1_A) / Z with lam = sol.lam[0]
+        lam = sol_d.lam[0]
+        q = p * jnp.exp(lam * jnp.asarray(I_A))
+        q = q / jnp.sum(q)
+        assert float(jnp.max(jnp.abs(sol_d.x - q))) < 1e-5
+
+    def test_certified_with_prior(self):
+        """The certified route hits the 1e-8 contract with a general
+        prior; the measured residuals come back clean."""
+        n, B = 24, 8
+        p = self._prior(n, jax.random.PRNGKey(3))
+        I_A = np.zeros(n); I_A[:6] = 1.0
+        prob = DistKL.create(n, H=jnp.asarray(-I_A)[None],
+                             u=jnp.zeros((1,)), prior=p)
+        pA = float(jnp.sum(p[:6]))
+        us = -jnp.linspace(pA + 0.05, min(pA + 0.3, 0.9), B)[:, None]
+        sol = prob.solve_certified_batch(us)
+        assert float(jnp.max(jnp.abs(sol.duality_gap))) < 1e-8
+        assert float(jnp.max(sol.ineq_res)) < 1e-8
+        assert not bool(jnp.any(sol.stalled))
+
+    def test_host_certificate_matches_jax(self):
+        """kl_gap_certificate_np(prior=...) agrees with the in-graph
+        kl_dual_gap certificate."""
+        from cvx_tpu.diagnostics import kl_gap_certificate_np
+        from cvx_tpu.models.dist_kl import kl_dual_gap
+        n, B = 16, 4
+        p = self._prior(n, jax.random.PRNGKey(5))
+        I_A = np.zeros(n); I_A[:4] = 1.0
+        H = jnp.asarray(-I_A)[None]
+        prob = DistKL.create(n, H=H, u=jnp.zeros((1,)), prior=p)
+        pA = float(jnp.sum(p[:4]))
+        us = -jnp.linspace(pA + 0.05, pA + 0.3, B)[:, None]
+        xs = jax.vmap(lambda u: DistKL(
+            H=H, u=u, A=prob.A, r=prob.r, n=n, prior=p
+        ).solve_dual_newton().x)(us)
+        A_full = jnp.ones((1, n))
+        b_full = jnp.ones((1,))
+        gaps_jax = jax.vmap(lambda u, x: kl_dual_gap(
+            H, u, A_full, b_full, x, prior=p)[0])(us, xs)
+        gaps_np = kl_gap_certificate_np(np.asarray(xs), H, np.asarray(us),
+                                        prior=np.asarray(p))
+        assert np.allclose(np.asarray(gaps_jax), gaps_np, atol=1e-9)
+
+    def test_prior_validation(self):
+        n = 8
+        with pytest.raises(ValueError, match="positive"):
+            DistKL.create(n, H=jnp.ones((1, n)), u=jnp.ones((1,)),
+                          prior=jnp.zeros((n,)))
+        with pytest.raises(ValueError, match="shape"):
+            DistKL.create(n, H=jnp.ones((1, n)), u=jnp.ones((1,)),
+                          prior=jnp.ones((n + 1,)))
+        # normalization: unnormalized weights are accepted and scaled
+        prob = DistKL.create(n, H=jnp.ones((1, n)), u=jnp.ones((1,)),
+                             prior=jnp.full((n,), 3.0))
+        assert abs(float(jnp.sum(prob.prior)) - 1.0) < 1e-12
