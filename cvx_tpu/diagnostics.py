@@ -82,9 +82,11 @@ def kl_gap_certificate_np(X, H, u, steps: int = 10, prior=None):
     # log(n x) becomes log x - log p throughout
     if prior is None:
         logp = np.full(n, -np.log(n))
+        R = np.full(n, 1.0 / n) / np.e
     else:
-        logp = np.log(np.asarray(prior, np.float64))
-    R = np.exp(logp) / np.e
+        p = np.asarray(prior, np.float64)
+        logp = np.log(p)
+        R = p / np.e
     k = Hf.shape[0]
     dim = k + 1
     B = np.vstack([Hf, np.ones((1, n))])           # (k+1, n)

@@ -112,6 +112,18 @@ class _NegDualObjective:
                           precision="highest")
 
 
+def _prior_terms(prior, n, dtype):
+    """(log p, R = p/e) for an optional shared prior (None = the
+    reference's uniform).  The ONE place the conversion lives — the dual
+    certificate, the finishing pass and the model's R must stay in exact
+    agreement or the routes silently diverge."""
+    if prior is None:
+        return (-jnp.log(jnp.asarray(float(n), dtype)),
+                jnp.full((n,), 1.0 / (n * np.e), dtype))
+    p = jnp.asarray(prior, dtype)
+    return jnp.log(p), p / np.e
+
+
 @mxu_exact
 def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8,
                 value_band_eps: float | None = None, prior=None):
@@ -147,13 +159,7 @@ def kl_dual_gap(H, u, A, b, x, polish_steps: int = 8,
     w = jnp.concatenate([u, b])
     # general prior p (beyond the uniform-only reference): R = p/e and the
     # stationarity/objective terms swap log(n x) for log x - log p
-    if prior is None:
-        logp = -jnp.log(jnp.asarray(float(n), dtype))
-        R = jnp.full((n,), 1.0 / (n * np.e), dtype)
-    else:
-        p_ = jnp.asarray(prior, dtype)
-        logp = jnp.log(p_)
-        R = p_ / np.e
+    logp, R = _prior_terms(prior, n, dtype)
     dim = B.shape[0]
     mask = jnp.arange(dim) < k
 
@@ -307,13 +313,7 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None, prior=None):
     k = H.shape[0]
     B = jnp.concatenate([H64, A64], axis=0)
     w = jnp.concatenate([u64, b64])
-    if prior is None:
-        logp = -jnp.log(jnp.asarray(float(n), f64))
-        R = jnp.full((n,), 1.0 / (n * np.e), f64)
-    else:
-        p64 = jnp.asarray(prior, f64)
-        logp = jnp.log(p64)
-        R = p64 / np.e
+    logp, R = _prior_terms(prior, n, f64)
     if z0 is None:
         # TPU f64 is EMULATED: exp/log-heavy values carry ~1e-12 relative
         # error (measured on v5e), far above native-f64 rounding.  The
@@ -473,10 +473,8 @@ class DistKL:
 
     def _R(self, dtype=None) -> jax.Array:
         """Dual constant R = p/e (uniform: 1/(n e), Dist_KL.scala:131)."""
-        dtype = dtype or self.H.dtype
-        if self.prior is None:
-            return jnp.full((self.n,), 1.0 / (self.n * np.e), dtype)
-        return self.prior.astype(dtype) / np.e
+        return _prior_terms(self.prior, self.n,
+                            dtype or self.H.dtype)[1]
 
     def neg_dual_objective(self) -> _NegDualObjective:
         n = self.n
@@ -684,7 +682,8 @@ class DistKL:
             fb_steps = max(steps, 30)
 
             def one(ui, ri):
-                prob = DistKL(H=self.H, u=ui, A=self.A, r=ri, n=self.n)
+                prob = DistKL(H=self.H, u=ui, A=self.A, r=ri, n=self.n,
+                              prior=self.prior)
                 s = prob.solve_dual_newton(pars, steps=fb_steps)
                 return s.x, jnp.concatenate([s.lam, s.nu])
 

@@ -1171,3 +1171,20 @@ class TestGeneralPrior:
         prob = DistKL.create(n, H=jnp.ones((1, n)), u=jnp.ones((1,)),
                              prior=jnp.full((n,), 3.0))
         assert abs(float(jnp.sum(prob.prior)) - 1.0) < 1e-12
+
+    def test_certified_batch_prior_dim_over_5(self):
+        """The dual-dim > 5 XLA fallback must carry the prior into the
+        inner solve — constructing the uniform problem there warm-starts
+        the f64 polish from the WRONG basin and every instance stalls."""
+        n, k, B = 24, 5, 4
+        p = self._prior(n, jax.random.PRNGKey(7))
+        rng = np.random.default_rng(9)
+        rows = np.zeros((k, n))
+        for i in range(k):
+            rows[i, rng.choice(n, 5, replace=False)] = 1.0
+        prob = DistKL.create(n, H=jnp.asarray(rows), u=jnp.full((k,), 0.9),
+                             prior=p)
+        u = jnp.asarray(0.35 + 0.2 * rng.random((B, k)))
+        sol = prob.solve_certified_batch(u)
+        assert float(jnp.max(jnp.abs(sol.duality_gap))) < 1e-8
+        assert not bool(jnp.any(sol.stalled))
