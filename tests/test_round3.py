@@ -1188,3 +1188,24 @@ class TestGeneralPrior:
         sol = prob.solve_certified_batch(u)
         assert float(jnp.max(jnp.abs(sol.duality_gap))) < 1e-8
         assert not bool(jnp.any(sol.stalled))
+
+    def test_per_instance_priors_via_vmap(self):
+        """Per-INSTANCE priors need no kernel support: DistKL is a pytree,
+        so vmapping over the prior leaf batches the XLA dual route —
+        each instance recovers ITS OWN prior when constraints are
+        inactive."""
+        n, B = 12, 5
+        keys = jax.random.split(jax.random.PRNGKey(8), B)
+        ps = jax.vmap(lambda k: jax.nn.softmax(
+            0.5 * jax.random.normal(k, (n,))))(keys)
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        H = jnp.asarray(I_A)[None]
+        u = jnp.asarray([0.999])          # inactive for every prior
+
+        def one(p):
+            prob = DistKL(H=H, u=u, A=jnp.zeros((0, n)),
+                          r=jnp.zeros((0,)), n=n, prior=p)
+            return prob.solve_dual_newton().x
+
+        xs = jax.jit(jax.vmap(one))(ps)
+        assert float(jnp.max(jnp.abs(xs - ps))) < 5e-9
