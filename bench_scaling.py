@@ -35,15 +35,25 @@ def log(*a):
 
 def timed(fn, *args, reps=5, tries=3):
     """Compile, then best-of-`tries` of chained execution; returns seconds
-    per single run."""
+    per single run.
+
+    Inside the timed region only the SMALLEST output leaf is pulled to the
+    host — fetching any jit output leaf blocks until the whole program
+    executed (the remote pipeline can return from block_until_ready
+    early), while pulling the big (batch, n) iterates through the tunnel
+    costs more than the solve itself (~8.5 ms per 4 MB measured) and is
+    not part of the workload.  Same methodology as bench.py.  The full
+    outputs are transferred AFTER timing for the certificate checks."""
     out = fn(*args)
     jax.tree_util.tree_map(np.asarray, out)
     best = float("inf")
     for _ in range(tries):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.tree_util.tree_map(np.asarray, out)
+        np.asarray(min(jax.tree_util.tree_leaves(out),
+                       key=lambda a: a.size))
         best = min(best, (time.perf_counter() - t0) / reps)
+    out = jax.tree_util.tree_map(np.asarray, out)
     return best, out
 
 
@@ -302,7 +312,9 @@ def qp_n1000(records, dtype):
     x0 = jnp.zeros((n,), dtype)
 
     def solve(u):
-        s = barrier_solve(obj, cnts, x0 + 0.0 * u[0], pars, eqs=eqs)
+        # 1e-12: a REAL data dependency on the chained carry (0.0 * u[0]
+        # would fold away and let the rep chain be elided)
+        s = barrier_solve(obj, cnts, x0 + 1e-12 * u[0], pars, eqs=eqs)
         return s.x, s.iters, s.duality_gap, s.eq_gap
 
     reps = 2
@@ -444,9 +456,11 @@ def main():
     kept = [r for r in existing
             if "metric" in r and r["metric"] not in seen]
     merged = records[:1] + kept + records[1:]  # one header, then metrics
-    with open("BENCH_SCALING.json", "w") as f:
+    tmp = "BENCH_SCALING.json.tmp"
+    with open(tmp, "w") as f:
         json.dump(merged, f, indent=1)
-    log(f"wrote BENCH_SCALING.json ({len(merged)} records)")
+    os.replace(tmp, "BENCH_SCALING.json")   # atomic: a crash mid-dump
+    log(f"wrote BENCH_SCALING.json ({len(merged)} records)")  # can't corrupt
 
 
 if __name__ == "__main__":

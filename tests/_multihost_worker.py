@@ -13,8 +13,13 @@ Process 0 writes an .npz with the sharded-solve results gathered globally.
 import os
 import sys
 
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=4")
+# strip any inherited device-count flag first: duplicate conflicting
+# flags would make the 4-local-device assert depend on XLA's resolution
+# order (the parent test scrubs XLA_FLAGS, standalone runs may not)
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(
+    _flags + ["--xla_force_host_platform_device_count=4"])
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -12,11 +12,14 @@ is initialized (sitecustomize imports jax but does not initialize backends).
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# always force exactly 8 virtual devices, REPLACING any inherited
+# device-count flag — the suite's mesh tests assert 8, so preserving a
+# different user value would only trade a clear override for a confusing
+# collection-time assert
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "xla_force_host_platform_device_count" not in f]
+os.environ["XLA_FLAGS"] = " ".join(
+    _flags + ["--xla_force_host_platform_device_count=8"])
 
 import jax  # noqa: E402
 
