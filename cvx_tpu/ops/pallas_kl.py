@@ -22,16 +22,18 @@ Reference parity: this is the fused TPU materialization of the barrier
 recipe in cvx/BarrierSolver.scala + cvx/KKTSystem.scala specialized by the
 structure argument of KKTSystem.scala:17-21.
 
-MEASURED (TPU v5e, 10k instances, n=100, f32, best-of-3 chained execution
-with forced transfers so the remote-execution pipeline cannot hide latency;
+MEASURED (TPU v5e, 10k instances, n=100, f32, best-of-3 chained execution;
 closed-form feasible-step bound, n_ls = 12 candidates, mu = 55 with 3
-Newton steps/stage — see docs/SCALING.md for the single table of record):
+Newton steps/stage — see docs/SCALING.md for the single table of record;
+the 66 ms figure below carries the pre-round-3 timing methodology — see
+README "Measured headline"; the structured row is the round-3 honest
+re-measurement):
 
-    XLA structured path (solvers/structured.py):  ~100+ ms / batch solve
+    XLA structured path (solvers/structured.py):   138 ms / batch solve
     this fused kernel:                              66 ms / batch solve
 
 The TPU bench DEFAULT is the fused DUAL kernel (ops/pallas_kl_dual.py,
-bench.py BENCH_METHOD=dual_fused), which beats this primal kernel ~4x;
+bench.py BENCH_METHOD=dual_fused), which beats this primal kernel ~10x;
 this kernel remains the fastest PRIMAL route (BENCH_METHOD=fused).  Two
 earlier kernel formulations were killed by Mosaic behavior worth recording:
 (a) tiny-dimension tensors ((bt,k,k) matrices, 4-D broadcast-reduces) get
