@@ -102,6 +102,8 @@ class TestBarrierEndToEnd:
         sol = sv.barrier_solve(obj, cnts, x_feas)
         assert abs(float(sol.x[0]) - (-1.0)) < TOL_SOLUTION
         assert abs(float(sol.x[1]) - 1 / E) < TOL_SOLUTION
+        # m/t schedule bound: verifies the continuation reached its target
+        # (the ANALYTIC checks above are the real quality gate)
         assert float(sol.duality_gap) < 1e-8
 
     def test_minx1_no_feasible_point(self):

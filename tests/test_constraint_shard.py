@@ -46,8 +46,8 @@ class TestMSharded:
         sol_lo = barrier_solve(obj, cnts, x0, pars)
 
         assert not bool(sol_sh.stalled)
-        assert float(sol_sh.duality_gap) < 1e-8
-        # same optimum as the single-device path
+        assert float(sol_sh.duality_gap) < 1e-8   # m/t schedule bound
+        # same optimum as the single-device path (the real check)
         assert float(jnp.max(jnp.abs(sol_sh.x - sol_lo.x))) < 1e-6
         # duals: sharded lam matches local lam layout (both 1/(t d))
         assert sol_sh.lam.shape == (m,)

@@ -170,41 +170,52 @@ class TestBatched:
         H = jnp.asarray(np.stack([-I_A, I_B]))
         pAs = jnp.linspace(0.25, 0.45, 4)
 
+        # NOTE: this test previously passed the UNIFORM start as the
+        # feasible point against a P(B) <= 0.1 bound it violates (P(B)
+        # uniform = 0.5): the barrier could not move and returned x0, and
+        # the old finiteness + sum-to-1 asserts could not tell.  The start
+        # below strictly satisfies both rows and the pA bound BINDS.
+        def start(pA):
+            w = pA + 0.05
+            return jnp.asarray(np.where(np.arange(n) < 3, 1.0, 0.0)) * \
+                (w / 3) + jnp.asarray(
+                    np.where(np.arange(n) < 3, 0.0, 1.0)) * \
+                ((1.0 - w) / (n - 3))
+
         def solve_one(pA):
-            u = jnp.stack([-pA, jnp.asarray(0.1)])
+            u = jnp.stack([-pA, jnp.asarray(0.6)])
             prob = DistKL.create(n, H=H, u=u)
             return prob.solve_jittable(
-                feasible_point=jnp.full((n,), 1.0 / n),
-                method="BR",
+                feasible_point=start(pA), method="BR",
             ).x
 
-        # uniform start is strictly feasible for pA < 3/16
-        # -> shift bounds so it is: use pA in (0.1, 0.18)
-        pAs = jnp.linspace(0.10, 0.18, 4)
+        pAs = jnp.linspace(0.25, 0.45, 4)    # all above uniform P(A)=3/16
         xs = jax.jit(jax.vmap(solve_one))(pAs)
         assert bool(jnp.all(jnp.isfinite(xs)))
         assert float(jnp.max(jnp.abs(jnp.sum(xs, axis=1) - 1.0))) < 1e-6
+        # the real checks: per-instance MEASURED gap + residuals and the
+        # BINDING row actually holds with mass moved onto A
+        from cvx_tpu.models.dist_kl import kl_dual_gap
+        A_full = jnp.ones((1, n)); b_full = jnp.ones((1,))
+        for i, pA in enumerate(pAs):
+            u = jnp.stack([-pA, jnp.asarray(0.6)])
+            gap, _ = kl_dual_gap(H, u, A_full, b_full, xs[i])
+            assert abs(float(gap)) < 1e-7, i
+            assert abs(float(jnp.sum(xs[i][:3])) - float(pA)) < 1e-5, i
 
 
 class TestFusedRoute:
     def test_solve_jittable_fused(self):
         """DistKL method='fused' (whole solve in one Pallas kernel,
         interpret mode on CPU) matches the structured path."""
-        from cvx_tpu.ops import pallas_kl
-        import functools
-        # interpret mode for CPU tests
-        orig = pallas_kl.kl_barrier_fused
+        # the library passes interpret=not on_tpu itself (call-site
+        # kwargs would override a functools.partial patch anyway)
         n = 16
         I_A = np.zeros(n); I_A[:3] = 1.0
         prob = DistKL.create(n, H=jnp.asarray(-I_A[None]),
                              u=jnp.asarray([-0.4]))
         x0 = jnp.asarray(np.where(np.arange(n) < 3, 0.5 / 3, 0.5 / (n - 3)))
-        try:
-            pallas_kl.kl_barrier_fused = functools.partial(orig,
-                                                           interpret=True)
-            sol = prob.solve_jittable(x0, method="fused")
-        finally:
-            pallas_kl.kl_barrier_fused = orig
+        sol = prob.solve_jittable(x0, method="fused")
         ref = prob.solve_jittable(x0, method="BR_fast")
         assert float(jnp.max(jnp.abs(sol.x - ref.x))) < 1e-4
         assert float(sol.eq_gap) < 1e-6

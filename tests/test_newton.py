@@ -44,7 +44,10 @@ class TestUnconstrained:
         res = newton_minimize(_fgh(obj), _free, x0,
                               SolverParams(max_iter=500))
         assert float(obj.value(res.x)) < 1e-7
-        assert float(jnp.linalg.norm(A @ res.x)) < 1e-1
+        # f < 1e-7 with q=1.5 forces each |(Ax)_j| < ~4.7e-3; assert the
+        # implied kernel distance at that scale (1e-1 was implied by the
+        # line above and could never fail independently)
+        assert float(jnp.linalg.norm(A @ res.x)) < 1e-2
 
     def test_jit_and_vmap(self, key):
         obj = pb.norm_squared(6)

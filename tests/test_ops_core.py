@@ -69,8 +69,12 @@ class TestCholeskySolve:
         b = H @ x0
         x, relres = ops.cholesky_solve(H, b)
         assert float(relres) < 1e-8  # backward error: always small
-        # forward error is bounded by ~cond * eps (with safety margin)
-        assert _rel_err(x, x0) < max(1e-8, cond * 1e-16 * 1e4)
+        # forward error is bounded by ~cond * eps (with safety margin);
+        # capped at 0.2 so the assert never goes vacuous (_rel_err < 1
+        # holds even for x = 0, which scores ~0.9 here) — at cond=1e12 the
+        # genuine forward error is ~6e-2 and the BACKWARD error above is
+        # the binding accuracy check
+        assert _rel_err(x, x0) < min(0.2, max(1e-8, cond * 1e-16 * 1e4))
 
     def test_nasty_rhs_cond_1e8(self, key):
         # backward error must stay small at cond 1e8 with a RHS loaded on

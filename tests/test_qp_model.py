@@ -68,6 +68,11 @@ class TestQP:
         xs = jax.jit(jax.vmap(solve_one))(shifts)
         assert xs.shape == (B, n)
         assert bool(jnp.all(jnp.isfinite(xs)))
+        # value correctness: vmapped == per-instance solves (a vmap-axis
+        # bug that mixes instance data would still be finite)
+        for i in (0, B // 2, B - 1):
+            xi = solve_one(shifts[i])
+            assert float(jnp.max(jnp.abs(xs[i] - xi))) < 1e-6, i
 
 
 class TestDiagQP:
@@ -112,7 +117,7 @@ class TestLP:
         sol = lp.solve_jittable(x0)
         assert float(sol.x[-1]) > 0.999
         assert abs(float(sol.x.sum()) - 1.0) < 1e-6
-        assert float(sol.duality_gap) < 1e-8
+        assert float(sol.duality_gap) < 1e-8   # m/t schedule bound
 
     def test_lp_with_dense_row(self):
         from cvx_tpu.models import LP

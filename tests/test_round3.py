@@ -207,6 +207,38 @@ class TestFusedKernelDim5:
                            atol=5e-5), (k, m_eq)
         assert abs(gap_fused - gap_fast) < 1e-5
 
+    @pytest.mark.parametrize("k,m_eq", [(1, 0), (2, 0), (3, 0), (4, 0),
+                                        (1, 1), (2, 1), (2, 2), (3, 1)])
+    def test_fused_matches_dual_fast_active(self, k, m_eq):
+        """Same envelope sweep with BINDING rows: H = -W forces
+        E[W] >= E_x0[W] + delta, so the active-set freeze/release logic is
+        exercised at every (k, m_eq) — the feasible-by-construction sweep
+        above settles with all lam = 0 and tests only the trivial
+        inactive branch."""
+        n = 64
+        rng = np.random.default_rng(100 + k * 10 + m_eq)
+        x0 = rng.uniform(0.5, 1.5, n)
+        x0 = x0 / x0.sum()
+        W = rng.uniform(0.0, 1.0, (k, n))
+        delta = 0.02 if m_eq else 0.06
+        H = -W
+        u = -(W @ x0 + delta)                        # ACTIVE at optimum
+        A = rng.uniform(0.0, 1.0, (m_eq, n))
+        r = A @ x0                                   # consistent
+        prob = DistKL.create(
+            n, H=jnp.asarray(H, jnp.float32), u=jnp.asarray(u, jnp.float32),
+            A=jnp.asarray(A, jnp.float32) if m_eq else None,
+            r=jnp.asarray(r, jnp.float32) if m_eq else None,
+            dtype=jnp.float32)
+        s_fused = prob.solve(method="dual_fused")
+        s_fast = prob.solve(method="dual_fast")
+        assert not bool(s_fused.stalled), (k, m_eq)
+        # the binding rows carry REAL multipliers
+        assert float(jnp.max(s_fast.lam)) > 1e-2, (k, m_eq)
+        assert float(s_fused.duality_gap) < 1e-5, (k, m_eq)
+        assert np.allclose(np.asarray(s_fused.x), np.asarray(s_fast.x),
+                           atol=5e-5), (k, m_eq)
+
     def test_fused_active_constraints_dim5(self):
         """k=3 active-ish rows + 1 equality (dim 5) certified end to end."""
         n = 100
@@ -620,8 +652,8 @@ class TestConvexSetSurface:
         F = jnp.asarray([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]])
         P = C.affine_pullback(z, F)
         u0 = np.asarray(P.sample)
-        assert np.allclose(z + F @ u0, np.asarray(C.sample) * 0
-                           + np.asarray([1 / 3, 1 / 3, 0.5]), atol=1e-6)
+        assert np.allclose(z + F @ u0,
+                           np.asarray([1 / 3, 1 / 3, 0.5]), atol=1e-6)
         assert bool(P.contains(jnp.asarray(u0)))
 
 
@@ -1068,8 +1100,8 @@ class TestInfraReviewFixes:
         I_A = np.zeros(n); I_A[:2] = 1.0
         prob = DistKL.create(n, H=jnp.asarray(-I_A)[None],
                              u=jnp.asarray([-0.3]))
-        x0 = jnp.full((n,), 1.0 / n) * 0 + \
-            (0.35 * jnp.asarray(I_A) / 2 + 0.65 * jnp.asarray(1 - I_A) / (n - 2))
+        x0 = 0.35 * jnp.asarray(I_A) / 2 + \
+            0.65 * jnp.asarray(1 - I_A) / (n - 2)
         hist = barrier_history(prob.objective, prob.inequalities, x0,
                                eqs=prob.equalities, max_stages=25)
         assert hist[-1]["gap"] < 1e-6

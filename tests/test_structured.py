@@ -34,8 +34,15 @@ class TestStructuredKL:
         x_f = np.asarray(fast.x)
         f_fast = float(x_f @ np.log(n * x_f))
         assert abs(f_fast - fa) < 1e-3
+        # Solution.duality_gap on barrier routes is the m/t SCHEDULE bound
+        # (verifies the continuation ran to target); the MEASURED f64
+        # certificate is the honest quality number
         assert float(fast.duality_gap) < 1e-8
         assert float(fast.eq_gap) < 1e-8
+        from cvx_tpu.models.dist_kl import kl_dual_gap
+        eqs = prob.equalities
+        gap_meas, _ = kl_dual_gap(prob.H, prob.u, eqs.A, eqs.b, fast.x)
+        assert float(gap_meas) < 1e-7
         x_d = np.asarray(dense.x)
         assert abs(f_fast - float(x_d @ np.log(n * x_d))) < 1e-4
 
@@ -78,7 +85,12 @@ class TestStructuredKL:
         x = np.asarray(sol.x)
         fa = float(xa @ np.log(n * xa))
         assert abs(float(x @ np.log(n * x)) - fa) < 1e-2
-        assert float(sol.duality_gap) < 1e-8
+        assert float(sol.duality_gap) < 1e-8   # m/t schedule bound (f32)
+        # measured f64 certificate: the f32 route floors at ~1e-6
+        from cvx_tpu.diagnostics import kl_gap_certificate_np
+        cert = kl_gap_certificate_np(x[None], np.asarray(prob.H),
+                                     np.asarray(prob.u)[None])
+        assert float(cert[0]) < 1e-4
 
 
 class TestStructuredGeneric:

@@ -116,5 +116,11 @@ class TestDiagnostics:
         hist = diagnostics.barrier_history(obj, cnts, x0)
         assert len(hist) >= 2
         gaps = [h["gap"] for h in hist]
+        # the recorded gap is the m/t SCHEDULE bound (decreases by
+        # construction) — the OBJECTIVE is the real quality check: the
+        # unconstrained optimum of ||x||^2 is 0 (the ball is inactive)
         assert gaps[-1] < 1e-8
         assert all(g2 < g1 for g1, g2 in zip(gaps, gaps[1:]))
+        assert hist[-1]["obj"] < 1e-8
+        objs = [h["obj"] for h in hist]
+        assert objs[-1] <= objs[0]
