@@ -112,6 +112,32 @@ class QP:
                                      pars, eqs=eqs)
         raise ValueError(f"unknown method: {method!r}")
 
+    def solve_certified(self, feasible_point: jax.Array,
+                        pars: SolverParams | None = None,
+                        method: str = "PD",
+                        polish_steps: int = 3) -> Solution:
+        """Native-precision solve + f64 finishing pass certified to the
+        reference's WRITTEN gap contract 1e-8 (SolverParams.scala:41) —
+        the QP-family counterpart of ``DistKL.solve_certified``.  Needs
+        strictly convex P (the dual closed form inverts it) and
+        ``jax_enable_x64``; returns a Solution whose duality_gap /
+        ineq_res / eq_gap are MEASURED f64 residuals."""
+        pars = pars or SolverParams()
+        sol = self.solve_jittable(feasible_point, method, pars)
+        cert = qp_certify(self.P, self.a, self.G, self.h, self.A, self.b,
+                          sol.x, sol.lam, sol.nu,
+                          polish_steps=polish_steps)
+        nan = jnp.asarray(jnp.nan, jnp.float64)
+        stalled = jnp.logical_or(
+            jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
+            jnp.logical_not(jnp.abs(cert.gap) <= pars.tol))
+        return Solution(
+            x=cert.x, lam=cert.lam, nu=cert.nu, newton_decrement=nan,
+            duality_gap=cert.gap, eq_gap=cert.eq_res, norm_grad=nan,
+            norm_dual_residual=nan, iters=sol.iters,
+            maxed_out=sol.maxed_out, stalled=stalled,
+            ineq_res=cert.ineq_res)
+
 
 @pytree_dataclass
 class DiagQP:
@@ -202,3 +228,137 @@ def LP(a, U=None, ub=None, A=None, b=None, dtype=None) -> DiagQP:
     A = jnp.zeros((0, n), dtype) if A is None else jnp.asarray(A, dtype)
     b = jnp.zeros((0,), dtype) if b is None else jnp.asarray(b, dtype)
     return DiagQP(c=jnp.zeros((n,), dtype), a=a, U=U, ub=ub, A=A, b=b)
+
+
+@pytree_dataclass
+class QPCertificate:
+    """F64-certified refinement of a QP iterate (see ``qp_certify``)."""
+
+    x: jax.Array          # refined primal (f64)
+    gap: jax.Array        # MEASURED f(x) - g(lam, nu) in f64 (true bound)
+    ineq_res: jax.Array   # max(G x - h)_+
+    eq_res: jax.Array     # max |A x - b|
+    lam: jax.Array        # polished inequality duals (f64, >= 0)
+    nu: jax.Array         # polished equality duals (f64)
+
+
+def qp_certify(P, a, G, h, A, b, x, lam, nu, polish_steps: int = 3,
+               r=0.0):
+    """F64 finishing pass for a STRICTLY convex QP: refine an iterate to
+    the reference's written 1e-8 duality-gap contract and certify it with
+    measured residuals (SolverParams.scala:41 — the same contract the KL
+    route meets via ``models.dist_kl.kl_certify``).
+
+    For P > 0 the dual function has the closed form (B = [G; A] rows,
+    q = (h, b), z = (lam >= 0, nu)):
+
+        g(z) = -(1/2) w' P^-1 w - q.z + r,      w = a + B'z,
+
+    a TRUE lower bound on the primal optimum for ANY lam >= 0, so
+    f(x) - g(z) is an honest certificate.  The polish is projected-Newton
+    ASCENT on g: the dual Hessian -B P^-1 B' is constant, so M = B P^-1 B'
+    is factored per active set only; stationarity recovers the refined
+    primal x(z) = -P^-1 w.  Keeps whichever of {refined, input} primal
+    scores better on gap + measured violations (same selection rule as
+    kl_certify).  Requires ``jax_enable_x64``; LP (P singular) is not
+    certifiable this way — use the f64 solve directly.
+    """
+    from ..ops.cholesky import chol_solve_factored, regularized_cholesky
+
+    f64 = jnp.float64
+    if jnp.zeros((), f64).dtype != jnp.float64:
+        raise RuntimeError(
+            "qp_certify needs jax_enable_x64 (on TPU f64 is emulated but "
+            "accurate; without x64 the cast silently stays f32)")
+    P64, a64 = P.astype(f64), a.astype(f64)
+    G64, h64 = G.astype(f64), h.astype(f64)
+    A64, b64 = A.astype(f64), b.astype(f64)
+    x64 = x.astype(f64)
+    m, p = G.shape[0], A.shape[0]
+    dim = m + p
+    B = jnp.concatenate([G64, A64], axis=0)      # (m+p, n)
+    q = jnp.concatenate([h64, b64])
+    # non-finite warm-start multipliers (e.g. a barrier route that does
+    # not estimate nu) start from 0 — any (lam >= 0, nu) is dual-feasible
+    lam0 = jnp.maximum(jnp.nan_to_num(lam.astype(f64), nan=0.0,
+                                      posinf=0.0, neginf=0.0), 0.0)
+    nu0 = jnp.nan_to_num(nu.astype(f64), nan=0.0, posinf=0.0, neginf=0.0)
+    z = jnp.concatenate([lam0, nu0])
+    ineq = jnp.arange(dim) < m
+
+    LP_, _ = regularized_cholesky(P64, delta=1e-13)
+    Y = chol_solve_factored(LP_, B.T)            # P^-1 B'  (n, m+p)
+    M = 0.5 * ((B @ Y) + (B @ Y).T)              # B P^-1 B'
+    y_a = chol_solve_factored(LP_, a64)          # P^-1 a
+    rhs = -(q + B @ y_a)                         # KKT: M z_act = rhs|act
+
+    def g_of(z):
+        w = a64 + jnp.einsum("in,i->n", B, z, precision="highest")
+        y = chol_solve_factored(LP_, w)          # P^-1 w
+        gval = -0.5 * jnp.einsum("n,n->", w, y, precision="highest") \
+            - jnp.einsum("i,i->", q, z, precision="highest") + r
+        return gval, -y                          # x(z) = -P^-1 w
+
+    # ACTIVE-SET passes, not Newton ascent: the dual Hessian -B P^-1 B'
+    # is singular whenever m + p > n (rank <= n), with LINEAR unbounded
+    # directions in its null space — a ridge-regularized Newton step
+    # explodes along them.  Instead each pass solves the equality-KKT
+    # restricted to the current active set EXACTLY (Schur form:
+    # M|act z = rhs|act), then updates membership: multipliers that came
+    # out negative leave, rows the new primal violates join.  With a warm
+    # f32 start the set settles in 1-2 passes.
+    # initial membership from the PRIMAL slack at the warm iterate (the
+    # multipliers may be arbitrarily bad — any lam >= 0 is dual-feasible,
+    # so callers can hand in lousy ones); an all-active init would make
+    # the masked Schur system rank-deficient whenever m + p > n
+    slack0 = q - B @ x64
+    act = jnp.where(ineq,
+                    slack0 < 1e-4 * (1.0 + jnp.abs(q)), True)
+
+    def one_pass(act, _):
+        D = act.astype(f64)
+        Mf = M * (D[:, None] * D[None, :]) + jnp.diag(1.0 - D)
+        Mf = Mf + 1e-13 * (1.0 + jnp.abs(jnp.diag(Mf))) * jnp.eye(dim)
+        Lm, _ = regularized_cholesky(Mf, delta=1e-14)
+        z = D * chol_solve_factored(Lm, D * rhs)
+        _, x = g_of(z)
+        slack = q - B @ x
+        act_new = jnp.where(ineq,
+                            jnp.logical_or(z > 0.0, slack < 0.0), True)
+        act_new = jnp.where(jnp.all(jnp.isfinite(x)), act_new, act)
+        return act_new, z
+
+    act, zs = jax.lax.scan(one_pass, act, None,
+                           length=max(polish_steps, 1))
+    z_ref = jnp.where(ineq, jnp.maximum(zs[-1], 0.0), zs[-1])
+    z = jnp.where(jnp.asarray(polish_steps > 0), z_ref, z)
+    gval, x_ref = g_of(z)
+
+    def f_of(xc):
+        return (jnp.einsum("n,n->", a64, xc, precision="highest")
+                + 0.5 * jnp.einsum("n,n->", xc, P64 @ xc,
+                                   precision="highest") + r)
+
+    def residuals(xc):
+        viol = (jnp.max(jnp.maximum(G64 @ xc - h64, 0.0)) if m > 0
+                else jnp.asarray(0.0, f64))
+        eq = (jnp.max(jnp.abs(A64 @ xc - b64)) if p > 0
+              else jnp.asarray(0.0, f64))
+        return viol, eq
+
+    gap_ref = f_of(x_ref) - gval
+    gap_in = f_of(x64) - gval
+    viol_ref, eq_ref = residuals(x_ref)
+    viol_in, eq_in = residuals(x64)
+    score_ref = jnp.maximum(gap_ref, 0.0) + viol_ref + eq_ref
+    score_in = jnp.maximum(gap_in, 0.0) + viol_in + eq_in
+    better = jnp.logical_and(
+        jnp.isfinite(score_ref),
+        jnp.logical_or(score_ref <= score_in,
+                       jnp.logical_not(jnp.isfinite(score_in))))
+    return QPCertificate(
+        x=jnp.where(better, x_ref, x64),
+        gap=jnp.where(better, gap_ref, gap_in),
+        ineq_res=jnp.where(better, viol_ref, viol_in),
+        eq_res=jnp.where(better, eq_ref, eq_in),
+        lam=z[:m], nu=z[m:])
