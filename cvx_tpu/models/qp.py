@@ -211,6 +211,38 @@ class DiagQP:
         return barrier_solve_structured(self, self.U, self.ub, self.A,
                                         self.b, feasible_point, pars)
 
+    def solve_certified(self, feasible_point: jax.Array,
+                        pars: SolverParams | None = None,
+                        polish_steps: int = 3) -> Solution:
+        """Structured solve + f64 certified finish (see
+        ``QP.solve_certified``).  Requires strictly positive ``c`` (an LP
+        member has a singular Hessian and no closed-form dual value);
+        the positivity rows -x <= 0 join the certificate's constraint
+        system, so its Schur pass is O((k + p + n)^2) — moderate n."""
+        if not isinstance(self.c, jax.core.Tracer) and not bool(
+                jnp.all(self.c > 0)):
+            raise ValueError(
+                "solve_certified needs strictly positive c (an LP has a "
+                "singular Hessian; solve it in f64 directly instead)")
+        pars = pars or SolverParams()
+        sol = self.solve_jittable(feasible_point, pars)
+        n, dtype = self.n, self.a.dtype
+        G_full = jnp.concatenate([self.U, -jnp.eye(n, dtype=dtype)], axis=0)
+        h_full = jnp.concatenate([self.ub, jnp.zeros((n,), dtype)])
+        cert = qp_certify(self.c, self.a, G_full, h_full, self.A, self.b,
+                          sol.x, sol.lam, sol.nu,
+                          polish_steps=polish_steps)
+        nan = jnp.asarray(jnp.nan, jnp.float64)
+        stalled = jnp.logical_or(
+            jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
+            jnp.logical_not(jnp.abs(cert.gap) <= pars.tol))
+        return Solution(
+            x=cert.x, lam=cert.lam, nu=cert.nu, newton_decrement=nan,
+            duality_gap=cert.gap, eq_gap=cert.eq_res, norm_grad=nan,
+            norm_dual_residual=nan, iters=sol.iters,
+            maxed_out=sol.maxed_out, stalled=stalled,
+            ineq_res=cert.ineq_res)
+
 
 def LP(a, U=None, ub=None, A=None, b=None, dtype=None) -> DiagQP:
     """Linear program  min a.x  s.t.  U x <= ub,  x > 0,  A x = b  as the
@@ -260,8 +292,12 @@ def qp_certify(P, a, G, h, A, b, x, lam, nu, polish_steps: int = 3,
     is factored per active set only; stationarity recovers the refined
     primal x(z) = -P^-1 w.  Keeps whichever of {refined, input} primal
     scores better on gap + measured violations (same selection rule as
-    kl_certify).  Requires ``jax_enable_x64``; LP (P singular) is not
-    certifiable this way — use the f64 solve directly.
+    kl_certify).  ``P`` may be a dense (n, n) matrix or a strictly
+    positive (n,) DIAGONAL (the DiagQP structured family — the P solves
+    stay O(n); note M = B P^-1 B' is still (m+p)^2, so the pass is meant
+    for moderate row counts).  Requires ``jax_enable_x64``; LP
+    (P singular) is not certifiable this way — use the f64 solve
+    directly.
     """
     from ..ops.cholesky import chol_solve_factored, regularized_cholesky
 
@@ -270,6 +306,7 @@ def qp_certify(P, a, G, h, A, b, x, lam, nu, polish_steps: int = 3,
         raise RuntimeError(
             "qp_certify needs jax_enable_x64 (on TPU f64 is emulated but "
             "accurate; without x64 the cast silently stays f32)")
+    diag_P = P.ndim == 1            # DiagQP structured family
     P64, a64 = P.astype(f64), a.astype(f64)
     G64, h64 = G.astype(f64), h.astype(f64)
     A64, b64 = A.astype(f64), b.astype(f64)
@@ -286,15 +323,26 @@ def qp_certify(P, a, G, h, A, b, x, lam, nu, polish_steps: int = 3,
     z = jnp.concatenate([lam0, nu0])
     ineq = jnp.arange(dim) < m
 
-    LP_, _ = regularized_cholesky(P64, delta=1e-13)
-    Y = chol_solve_factored(LP_, B.T)            # P^-1 B'  (n, m+p)
+    if diag_P:
+        def P_solve(v):
+            return (v.T / P64).T                 # O(n) diagonal solve
+        def P_mv(v):
+            return P64 * v
+    else:
+        LP_, _ = regularized_cholesky(P64, delta=1e-13)
+
+        def P_solve(v):
+            return chol_solve_factored(LP_, v)
+        def P_mv(v):
+            return P64 @ v
+    Y = P_solve(B.T)                             # P^-1 B'  (n, m+p)
     M = 0.5 * ((B @ Y) + (B @ Y).T)              # B P^-1 B'
-    y_a = chol_solve_factored(LP_, a64)          # P^-1 a
+    y_a = P_solve(a64)                           # P^-1 a
     rhs = -(q + B @ y_a)                         # KKT: M z_act = rhs|act
 
     def g_of(z):
         w = a64 + jnp.einsum("in,i->n", B, z, precision="highest")
-        y = chol_solve_factored(LP_, w)          # P^-1 w
+        y = P_solve(w)                           # P^-1 w
         gval = -0.5 * jnp.einsum("n,n->", w, y, precision="highest") \
             - jnp.einsum("i,i->", q, z, precision="highest") + r
         return gval, -y                          # x(z) = -P^-1 w
@@ -336,7 +384,7 @@ def qp_certify(P, a, G, h, A, b, x, lam, nu, polish_steps: int = 3,
 
     def f_of(xc):
         return (jnp.einsum("n,n->", a64, xc, precision="highest")
-                + 0.5 * jnp.einsum("n,n->", xc, P64 @ xc,
+                + 0.5 * jnp.einsum("n,n->", xc, P_mv(xc),
                                    precision="highest") + r)
 
     def residuals(xc):

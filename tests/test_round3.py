@@ -1343,3 +1343,30 @@ class TestQPCertified:
         assert float(jnp.max(jnp.abs(certs.gap))) < 1e-8
         assert float(jnp.max(certs.ineq_res)) < 1e-10
         assert float(jnp.max(certs.eq_res)) < 1e-10
+
+    def test_diagqp_certified(self):
+        """The structured family's certified finish: diagonal P keeps the
+        P solves O(n); positivity rows join the certificate system."""
+        from cvx_tpu.models.qp import DiagQP
+        n, k = 24, 2
+        rng = np.random.default_rng(3)
+        c = jnp.asarray(0.5 + rng.random(n))
+        a = jnp.asarray(rng.standard_normal(n))
+        U = jnp.asarray(rng.random((k, n)))
+        x_ref = jnp.full((n,), 0.5)
+        ub = U @ x_ref + 0.2
+        prob = DiagQP(c=c, a=a, U=U, ub=ub,
+                      A=jnp.ones((1, n)), b=jnp.asarray([float(n) / 2]))
+        sol = prob.solve(SolverParams(tol=1e-9, kkt_method="chol"))
+        cert = prob.solve_certified(x_ref)
+        assert float(jnp.abs(cert.duality_gap)) < 1e-8
+        assert float(cert.ineq_res) < 1e-10
+        assert float(cert.eq_gap) < 1e-10
+        assert not bool(cert.stalled)
+        assert float(jnp.max(jnp.abs(cert.x - sol.x))) < 1e-5
+
+    def test_lp_certified_raises(self):
+        from cvx_tpu.models.qp import LP
+        lp = LP(jnp.ones(4), A=jnp.ones((1, 4)), b=jnp.ones(1))
+        with pytest.raises(ValueError, match="singular"):
+            lp.solve_certified(jnp.full((4,), 0.25))
