@@ -30,6 +30,21 @@ from ..solvers.types import Solution, SolverParams
 from ..tree import pytree_dataclass, static_field
 
 
+def _certified_solution(cert, sol, pars) -> Solution:
+    """Package a QPCertificate as a Solution (shared by QP/DiagQP
+    solve_certified so the stall rule and field mapping live once)."""
+    nan = jnp.asarray(jnp.nan, jnp.float64)
+    stalled = jnp.logical_or(
+        jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
+        jnp.logical_not(jnp.abs(cert.gap) <= pars.tol))
+    return Solution(
+        x=cert.x, lam=cert.lam, nu=cert.nu, newton_decrement=nan,
+        duality_gap=cert.gap, eq_gap=cert.eq_res, norm_grad=nan,
+        norm_dual_residual=nan, iters=sol.iters,
+        maxed_out=sol.maxed_out, stalled=stalled,
+        ineq_res=cert.ineq_res)
+
+
 @pytree_dataclass
 class QP:
     """Dense QP data.  Use ``QP.create``; empty G/A allowed (shape (0, n))."""
@@ -127,16 +142,7 @@ class QP:
         cert = qp_certify(self.P, self.a, self.G, self.h, self.A, self.b,
                           sol.x, sol.lam, sol.nu,
                           polish_steps=polish_steps)
-        nan = jnp.asarray(jnp.nan, jnp.float64)
-        stalled = jnp.logical_or(
-            jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
-            jnp.logical_not(jnp.abs(cert.gap) <= pars.tol))
-        return Solution(
-            x=cert.x, lam=cert.lam, nu=cert.nu, newton_decrement=nan,
-            duality_gap=cert.gap, eq_gap=cert.eq_res, norm_grad=nan,
-            norm_dual_residual=nan, iters=sol.iters,
-            maxed_out=sol.maxed_out, stalled=stalled,
-            ineq_res=cert.ineq_res)
+        return _certified_solution(cert, sol, pars)
 
 
 @pytree_dataclass
@@ -218,7 +224,9 @@ class DiagQP:
         ``QP.solve_certified``).  Requires strictly positive ``c`` (an LP
         member has a singular Hessian and no closed-form dual value);
         the positivity rows -x <= 0 join the certificate's constraint
-        system, so its Schur pass is O((k + p + n)^2) — moderate n."""
+        system, so the pass forms and factors a DENSE (k + p + n)^2 Schur
+        matrix — O((k+p+n)^2 n) to form, O((k+p+n)^3) per polish pass;
+        meant for moderate n, unlike the O(n (k+p)^2) solve itself."""
         if not isinstance(self.c, jax.core.Tracer) and not bool(
                 jnp.all(self.c > 0)):
             raise ValueError(
@@ -232,16 +240,7 @@ class DiagQP:
         cert = qp_certify(self.c, self.a, G_full, h_full, self.A, self.b,
                           sol.x, sol.lam, sol.nu,
                           polish_steps=polish_steps)
-        nan = jnp.asarray(jnp.nan, jnp.float64)
-        stalled = jnp.logical_or(
-            jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
-            jnp.logical_not(jnp.abs(cert.gap) <= pars.tol))
-        return Solution(
-            x=cert.x, lam=cert.lam, nu=cert.nu, newton_decrement=nan,
-            duality_gap=cert.gap, eq_gap=cert.eq_res, norm_grad=nan,
-            norm_dual_residual=nan, iters=sol.iters,
-            maxed_out=sol.maxed_out, stalled=stalled,
-            ineq_res=cert.ineq_res)
+        return _certified_solution(cert, sol, pars)
 
 
 def LP(a, U=None, ub=None, A=None, b=None, dtype=None) -> DiagQP:
