@@ -1370,3 +1370,35 @@ class TestQPCertified:
         lp = LP(jnp.ones(4), A=jnp.ones((1, 4)), b=jnp.ones(1))
         with pytest.raises(ValueError, match="singular"):
             lp.solve_certified(jnp.full((4,), 0.25))
+
+
+class TestBatchedBarrierResume:
+    def test_batched_resume_barrier(self, tmp_path):
+        """resume_barrier (dense route) accepts a vmapped Solution: mixed
+        converged/unconverged instances resume to certificate level (the
+        structured twin is covered in TestInfraReviewFixes)."""
+        from cvx_tpu.checkpoint import (load_pytree, resume_barrier,
+                                        save_pytree)
+        from cvx_tpu.models import DistKL
+        from cvx_tpu.solvers.barrier import barrier_solve
+        n, B = 10, 3
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        prob = DistKL.create(n, H=jnp.asarray(-I_A)[None],
+                             u=jnp.asarray([-0.4]))
+        cnts = prob.inequalities
+        eqs = prob.equalities
+        ws = jnp.asarray([0.45, 0.55, 0.7])
+        x0s = jax.vmap(lambda w: w * jnp.asarray(I_A) / 3
+                       + (1 - w) * jnp.asarray(1 - I_A) / (n - 3))(ws)
+        pars_short = SolverParams(outer_max_iter=3, mu=10.0, tol=1e-9)
+        mid = jax.vmap(lambda x0: barrier_solve(
+            prob.objective, cnts, x0, pars_short, eqs=eqs))(x0s)
+        assert float(jnp.min(mid.duality_gap)) > 1e-9   # genuinely partial
+        p = str(tmp_path / "dense_fleet")
+        save_pytree(p, mid)
+        back = load_pytree(p, mid)
+        fin = resume_barrier(prob.objective, cnts, back,
+                             SolverParams(mu=10.0, tol=1e-9), eqs=eqs)
+        assert fin.x.shape == (B, n)
+        assert float(jnp.max(fin.duality_gap)) < 1e-8
+        assert not bool(jnp.any(fin.stalled))
