@@ -41,9 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ._pad import round_up as _round_up
 
 
 def _chol_tile_kernel(m_ref, l_ref, *, n: int, bk: int):

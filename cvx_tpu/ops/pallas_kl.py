@@ -14,7 +14,7 @@ Problem form (the Dist_KL primal, k scenario rows, p equality rows):
 
     min  x . log(n x)   s.t.  Hs x <= u,  x > 0,  A x = b.
 
-Restrictions (flagship shapes): k <= 2 and p <= 2 — the (k,k) Woodbury and
+Restrictions (flagship shapes): k <= 2 and p == 1 — the (k,k) Woodbury and
 (p,p) Schur inverses are closed-form (adjugate), which Mosaic lowers
 trivially.  n is padded to a lane multiple with inert coordinates.
 
@@ -52,10 +52,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from .cholesky import default_delta
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ._pad import round_up as _round_up
 
 
 def fused_n_outer(m_total: int, *, t0: float = 1.0, mu: float = 30.0,

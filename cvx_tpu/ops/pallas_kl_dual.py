@@ -48,9 +48,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from ._pad import round_up as _round_up
 
 
 def _solve_small(m, gf, dim, dtype):
@@ -263,46 +261,51 @@ def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
         t_full = jnp.minimum(jnp.clip(t_bd, 0.0, 1.0), t_trust)
 
         # candidates are halvings of t_full along the ray:
-        #   y(z + t dz) = y(z) * exp(-t (B'dz)),  and halving t takes a
-        #   SQRT of the step factor — the whole line search costs ONE exp
-        #   + cheap sqrts, and each candidate's value needs a single
-        #   reduction (ft = sum(yt) + w.zt); the kernel is
-        #   reduction/transcendental-bound, so this is the hot spot.
+        #   y(z + t dz) = y(z) * exp(-t (B'dz)) — the EXPONENT is halved
+        #   per candidate (one exp each).  NOT a sqrt chain of one clipped
+        #   factor: clipping before the chain distorts every deeper
+        #   candidate (exp(clip(e)/2^i) != exp(clip(e/2^i)) once |e|
+        #   exceeds the clip, so a truly-huge step could be scored as
+        #   acceptable at i >= 2 and break descent monotonicity).
         wdir = dz[k] * jnp.ones((bt, 1), dtype)
         for j in range(dim):
             if j != k:
                 wdir = wdir + dz[j] * hrow(j)
-        # clip the exponent: an overflowed inf would survive every sqrt and
-        # kill the deep-backtracking candidates; the clipped (huge, finite)
-        # factor still makes oversized steps reject on value
         max_e = 0.9 * jnp.log(jnp.finfo(dtype).max)
-        efac = jnp.exp(jnp.clip(-t_full * wdir, -max_e, max_e))
+        e_t = -t_full * wdir                     # raw, finite exponent
         best_f = f0
         tf = jnp.zeros((bt, 1), dtype)
         t = t_full
         for _ in range(n_ls):
+            efac = jnp.exp(jnp.clip(e_t, -max_e, max_e))
             sy = rsum(y * efac)
             ft = sy
             for i in range(dim):
                 ft = ft + ws[i] * (z[i] + t * dz[i])
-            ft = jnp.where(jnp.isfinite(ft), ft, jnp.inf)
+            # a clipped-overflow lane means the TRUE value is astronomically
+            # larger than computed — disqualify the candidate outright
+            clipped_hi = jnp.max(e_t * valid, axis=1, keepdims=True) > max_e
+            ft = jnp.where(jnp.logical_or(jnp.logical_not(jnp.isfinite(ft)),
+                                          clipped_hi), jnp.inf, ft)
             bf = ft < best_f
             best_f = jnp.where(bf, ft, best_f)
             tf = jnp.where(bf, t, tf)
             t = 0.5 * t
-            efac = jnp.sqrt(efac)
+            e_t = 0.5 * e_t
 
         finite = jnp.ones((bt, 1), jnp.bool_)
         for j in range(dim):
             finite = jnp.logical_and(finite, jnp.isfinite(dz[j]))
         f_ok = jnp.logical_and(best_f < f0, finite)
         # no candidate beats f0 once improvements drop below the value's
-        # rounding resolution — evaluate ONE fallback candidate at the
-        # exact minimizer of the quadratic model along the ray,
-        # t* = -g.dz / dz'H dz, accepted only if it strictly shrinks the
-        # projected-gradient norm without leaving the f0 noise band (the
-        # gradient is computed directly, so it resolves far below the
-        # value's cancellation floor)
+        # rounding resolution — evaluate ONE fallback candidate at
+        # t* = clip(-g.dz / dz'M dz, 0, t_full), accepted only if it
+        # strictly shrinks the projected-gradient norm without leaving the
+        # f0 noise band (the gradient resolves far below the value's
+        # cancellation floor).  For an UNMODIFIED Newton direction
+        # q = -dz'M dz so t* == t_full — i.e. this re-tests the full
+        # capped step under the gradient criterion; t* differs only when
+        # the coupled (z<=0, dz<0) zeroing above altered dz.
         q = g[0] * dz[0]
         for j in range(1, dim):
             q = q + g[j] * dz[j]
@@ -344,12 +347,17 @@ def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
 
     y = y_of(z)
     sy = rsum(y)
-    x = y / sy
+    # sum(y) can underflow to exactly 0 (primal-infeasible instance whose
+    # dual climbs without bound): guard the renormalization and force the
+    # gap to +inf instead of NaN-poisoning downstream max() metrics
+    dead = sy <= 0.0
+    x = y / jnp.where(dead, 1.0, sy)
     x_ref[...] = x * valid
     # measured gap f(x) - g(z) = x.(log x - log p) + (w.z + sum y)
     logx = jnp.log(jnp.where(valid > 0, jnp.where(x > 0, x, 1.0), 1.0))
     f_primal = rsum(x * (logx - logp))
-    gap_ref[...] = f_primal + val_of(z, y)
+    gap_ref[...] = jnp.where(dead, jnp.asarray(jnp.inf, dtype),
+                             f_primal + val_of(z, y))
     # the dual iterate itself: the f64 finishing pass (models/dist_kl.py
     # kl_certify) warm-starts from it with the active set already settled
     z_ref[...] = jnp.concatenate(z, axis=1)
@@ -374,10 +382,14 @@ def kl_dual_fused(
     """Solve a batch of KL duals entirely inside one Pallas kernel.
 
     Returns ``(x, gap, z)``: the recovered primal distributions (B, n),
-    the MEASURED per-instance duality-gap certificate f(x) - g(z) (valid
-    upper bound on suboptimality for the dual-feasible z the kernel ends
-    at), and the dual iterate z (B, k + 1 + m_eq) itself — the f64
-    finishing pass warm-starts from it.
+    the MEASURED per-instance duality-gap certificate f(x) - g(z) (g(z)
+    is a true lower bound on p* for the dual-feasible z the kernel ends
+    at; note x = y/sum(y) restores the simplex but may violate an active
+    H row by O(f32 eps), so the gap bounds suboptimality only up to that
+    primal residual — pair it with DistKL._ineq_res / Solution.ineq_res,
+    and it can be slightly NEGATIVE for a near-optimal infeasible x), and
+    the dual iterate z (B, k + 1 + m_eq) itself — the f64 finishing pass
+    warm-starts from it.
     Constraint set: Hs x <= u (k >= 0 rows), sum-to-one, and A x = r
     (m_eq >= 0 extra equality rows); dual dim = k + 1 + m_eq <= 5.  Use
     DistKL.solve(method='dual_fast') for larger shapes.
