@@ -327,17 +327,25 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None, prior=None):
     else:
         z = _kl_warm_polish(B, w, R, z0.astype(f64), k,
                             steps=polish_steps)
+        gap0 = None   # computed below from the shared exp(-B'z) pass
+    # ONE transcendental (n,) pass serves the refined primal, BOTH gap
+    # terms, and f_ref: under TPU float32x2 f64 emulation each (batch, n)
+    # exp/log pass costs ~6 ms per 10k x 100 batch — the certified path's
+    # whole budget — so every duplicate pass here is ~20% of the route.
+    Btz = jnp.einsum("in,i->n", B, z, precision="highest")
+    y = R * jnp.exp(-Btz)               # = exp(-B'z - 1 + log p)
+    sum_y = jnp.sum(y)
+    if gap0 is None:
+        # warm branch: g(z) = -(w.z + sum_y) reuses the same exp pass
         xs = jnp.maximum(x64, jnp.asarray(1e-30, f64))
         gap0 = (jnp.einsum("n,n->", xs, jnp.log(xs) - logp,
-                           precision="highest")
-                + (w @ z + jnp.sum(R * jnp.exp(-jnp.einsum(
-                    "in,i->n", B, z, precision="highest")))))
-    y = jnp.exp(-jnp.einsum("in,i->n", B, z, precision="highest")
-                - 1.0 + logp)
-    x_ref = y / jnp.sum(y)
-    f_ref = jnp.einsum("n,n->", x_ref, jnp.log(x_ref) - logp,
-                       precision="highest")
-    gap_ref = f_ref + (w @ z + jnp.sum(y))   # f(x_ref) - g(z)
+                           precision="highest") + (w @ z + sum_y))
+    x_ref = y / sum_y
+    # log x_ref - log p = -B'z - 1 - log(sum_y): the (n,) log collapses to
+    # one SCALAR log plus a dot with the already-computed B'z
+    f_ref = (-jnp.einsum("n,n->", x_ref, Btz, precision="highest")
+             - 1.0 - jnp.log(sum_y))
+    gap_ref = f_ref + (w @ z + sum_y)   # f(x_ref) - g(z)
 
     def residuals(xc):
         viol = jnp.maximum(jnp.max(-xc), 0.0)
@@ -606,7 +614,7 @@ class DistKL:
 
     def solve_certified(self, pars: SolverParams | None = None,
                         steps: int = 16,
-                        polish_steps: int = 3) -> Solution:
+                        polish_steps: int = 2) -> Solution:
         """F32 fused-kernel dual solve + on-chip f64 finishing pass
         (method="dual_fused_cert"): the TPU route to the reference's
         WRITTEN accuracy contract gap < tolSolver = 1e-8
@@ -616,9 +624,9 @@ class DistKL:
         lifts the iterate AND the kernel's dual z to (TPU-emulated) f64,
         runs the lean warm-started Newton polish (active set already
         settled; quadratic convergence from the ~1e-6 f32 start reaches
-        the emulated-f64 floor in 2 steps — the default 3 keeps one
-        correction step of margin; measured on v5e: 2.7e-14 max gap over
-        10k instances at every polish count 2..4), and returns the
+        the emulated-f64 floor in 2 steps — the round-3 default of 3 was
+        pure margin; measured on v5e: 2.7e-14 max gap over 10k instances
+        at every polish count 2..4), and returns the
         refined primal with MEASURED gap / inequality / equality
         residuals.  Requires ``jax_enable_x64``.
         """
@@ -646,7 +654,7 @@ class DistKL:
     def solve_certified_batch(self, u, r=None,
                               pars: SolverParams | None = None,
                               steps: int = 16,
-                              polish_steps: int = 3) -> Solution:
+                              polish_steps: int = 2) -> Solution:
         """Batched certified solve: per-instance bounds ``u`` (B, k) (and
         optionally ``r`` (B, mE)) against this problem's SHARED rows.
 
@@ -673,11 +681,16 @@ class DistKL:
             Ab = rb = None
         if k + m_eq >= 1 and k + 1 + m_eq <= 5:
             lp = None if self.prior is None else jnp.log(self.prior)
+            # VMEM budget: keep the (bt, n) instance tiles at a few MB —
+            # bt=256 at n=10000 would be a 10 MB f32 tile alone (the
+            # Mosaic scoped-VMEM limit is ~16 MB total)
+            bt = (256 if self.n <= 128 else
+                  (64 if self.n <= 1024 else 8)) if on_tpu else 8
             xs, _, zs = kl_dual_fused(Hb, u, Ab, rb, log_prior=lp,
                                       n_steps=steps,
                                       z0=float(pars.dual_start),
                                       interpret=not on_tpu,
-                                      bt=256 if on_tpu else 8)
+                                      bt=bt)
         else:
             # the XLA fallback starts COLD (no fused-kernel warm start), so
             # it gets at least its own tuned schedule even when the caller

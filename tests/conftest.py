@@ -28,7 +28,42 @@ jax.config.update("jax_enable_x64", True)
 assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
 assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 
+import signal  # noqa: E402
+
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): hard wall-clock cap for one test (SIGALRM)")
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    """Make ``@pytest.mark.timeout(N)`` REAL without pytest-timeout (not
+    installed in this image, and installs are off-limits): a SIGALRM-based
+    wall-clock cap.  Round-3 verdict weak item 7: the mark was silently
+    inert, leaving only in-test subprocess timeouts protecting CI.  SIGALRM
+    interrupts the pytest main thread even when it is blocked in a
+    subprocess wait or a remote-backend call."""
+    marker = item.get_closest_marker("timeout")
+    if marker is None or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+    seconds = int(marker.args[0])
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded timeout marker ({seconds}s wall-clock)")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture
