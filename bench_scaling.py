@@ -388,7 +388,17 @@ def kkt_factorizations(records, dtype):
 
     H/A/q are jit ARGUMENTS (a closure-captured H would be baked into the
     HLO as an n^2 constant — 268 MB at n=8192, which the remote-compile
-    tunnel rejects)."""
+    tunnel rejects).
+
+    Round-4 methodology fix (verdict weak #4): the round-3 rows chained
+    only 5 solves per dispatch, so the remote tunnel's ~70 ms dispatch
+    overhead landed as a fixed ~14 ms "per-solve" floor (15.02 ms at
+    n=1024 vs 15.58 ms at n=2048 for 8x the FLOPs) — inconsistent with
+    the QP barrier's 1.9 ms/Newton-iteration, which amortizes dispatch
+    over 49 in-program iterations.  Chains now scale with n so dispatch
+    overhead is < 5% of the measurement, and each KKT solve in the chain
+    is a REAL factorization (the H scale is carried through the chain so
+    XLA cannot hoist the Cholesky out of the fori_loop)."""
     from cvx_tpu.ops.kkt import kkt_solve
 
     for n in (1024, 2048, 4096, 8192):
@@ -399,28 +409,103 @@ def kkt_factorizations(records, dtype):
         A = jax.random.normal(ks[1], (p, n), dtype) / float(np.sqrt(n))
         q = jax.random.normal(ks[2], (n,), dtype)
         b = jnp.zeros((p,), dtype)
-        reps = 5
+        reps = {1024: 40, 2048: 20, 4096: 10}.get(n, 5)
 
         @jax.jit
         def run(H, A, q, b):
             x, w, rr = kkt_solve(H, A, q, b, method="chol", refine=1)
 
             def body(i, c):
-                q_, x, rr = c
-                x, w, rr = kkt_solve(H, A, q_, b, method="chol", refine=1)
-                return q_ + 1e-12 * jnp.mean(x), x, rr
+                H_, q_, x, rr = c
+                x, w, rr = kkt_solve(H_, A, q_, b, method="chol",
+                                     refine=1)
+                # feed the iterate back into BOTH H and q: every chained
+                # rep must re-factorize, not just re-substitute
+                return (H_ * (1.0 + 1e-12 * jnp.mean(x)),
+                        q_ + 1e-12 * jnp.mean(x), x, rr)
 
             return jax.lax.fori_loop(
-                0, reps - 1, body, (q + 1e-12 * jnp.mean(x), x, rr))
+                0, reps - 1, body,
+                (H * (1.0 + 1e-12 * jnp.mean(x)),
+                 q + 1e-12 * jnp.mean(x), x, rr))
 
-        sec, (_, x, rr) = timed(run, H, A, q, b, reps=reps)
+        sec, (_, _, x, rr) = timed(run, H, A, q, b, reps=reps)
         rec = {
             "metric": f"kkt_factorize_solve_n{n}",
             "value": round(1.0 / sec, 2), "unit": "factorizations/s",
             "ms_per_solve": round(sec * 1e3, 2), "relres": float(rr),
+            "chained_reps": reps,
+            # v5e f32 peak ~49 TFLOP/s (bf16 197 / 4: "highest" precision
+            # f32 matmuls cost multiple MXU passes); FLOP = n^3/3 Cholesky
+            # + O(n^2) solves/refine
+            "mfu_pct_vs_f32_49tflops": round(
+                100.0 * (n**3 / 3 + 6 * n**2) / sec / 49e12, 2),
         }
         records.append(rec)
         print(json.dumps(rec), flush=True)
+
+
+def batched_small_cholesky(records, dtype, on_tpu):
+    """The scenario-fleet factorization regime the north star names ("KKT
+    factorizations/s"): MANY small Cholesky factorizations at once —
+    n in {128, 256, 512} x batches of 1k-10k — XLA's batched built-in vs
+    the in-house Pallas kernel (ops/pallas_chol.py).  Round-4 verdict
+    item 6: give pallas_chol's target regime a ladder row and record the
+    winner; its docstring already carries the measured negative result at
+    4096 x 100 x 100 (XLA 0.81 ms vs 146 ms)."""
+    from cvx_tpu.ops.pallas_chol import cholesky_batched
+
+    configs = (((128, 4096), (256, 1024), (512, 256)) if on_tpu
+               else ((128, 16),))   # CPU: one tiny smoke config
+    for n, batch in configs:
+        n_eff = n
+        ks = jax.random.split(jax.random.PRNGKey(n), 1)[0]
+        M = jax.random.normal(ks, (batch, n_eff, n_eff), dtype) \
+            / float(np.sqrt(n_eff))
+        Hb = (jnp.einsum("bij,bkj->bik", M, M)
+              + 2.0 * jnp.eye(n_eff, dtype=dtype)[None])
+        reps = 10 if on_tpu else 2
+        methods = ["xla"] + (["pallas"] if on_tpu else [])
+        for meth in methods:
+            # VMEM: the pallas kernel holds bt in+out (n,n) tiles — 16 MB
+            # at bt=8, n=512; shrink the tile for the largest shape
+            kw = {"bt": 8 if n_eff <= 256 else 2} if meth == "pallas" \
+                else {}
+
+            @jax.jit
+            def run(Hb, meth=meth, kw=kw):
+                L = cholesky_batched(Hb, method=meth, **kw)
+
+                def body(i, c):
+                    Hb_, L = c
+                    L = cholesky_batched(Hb_, method=meth, **kw)
+                    return Hb_ * (1.0 + 1e-12 * jnp.mean(L)), L
+
+                return jax.lax.fori_loop(
+                    0, reps - 1, body,
+                    (Hb * (1.0 + 1e-12 * jnp.mean(L)), L))
+
+            try:
+                sec, (_, L) = timed(run, Hb, reps=reps)
+            except Exception as e:   # pallas OOM/lowering failure: record it
+                rec = {"metric": f"batched_chol_{meth}_n{n_eff}_b{batch}",
+                       "error": f"{type(e).__name__}: {str(e)[:160]}"}
+                records.append(rec)
+                print(json.dumps(rec), flush=True)
+                continue
+            # factorization correctness: ||L L^T - H|| on one instance
+            L0 = np.tril(np.asarray(L[0], np.float64))
+            err = float(np.max(np.abs(L0 @ L0.T - np.asarray(
+                Hb[0], np.float64))))
+            rec = {
+                "metric": f"batched_chol_{meth}_n{n_eff}_b{batch}",
+                "value": round(batch / sec, 1),
+                "unit": "factorizations/s",
+                "ms_per_batch": round(sec * 1e3, 3),
+                "max_abs_err": err,
+            }
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
 
 
 def main():
@@ -453,6 +538,8 @@ def main():
         qp_n1000(records, dtype)
     if os.environ.get("SCALE_KKT", "1") == "1":
         kkt_factorizations(records, dtype)
+    if os.environ.get("SCALE_BCHOL", "1") == "1":
+        batched_small_cholesky(records, dtype, on_tpu)
     if os.environ.get("SCALE_SEP", "0") == "1":
         separable_config5(records, dtype)
 

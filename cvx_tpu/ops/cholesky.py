@@ -112,7 +112,7 @@ def relative_residual(A: jax.Array, x: jax.Array, b: jax.Array,
     return r / denom
 
 
-@partial(jax.jit, static_argnames=("refine",))
+@partial(jax.jit, static_argnames=("refine", "equil_sweeps"))
 def cholesky_solve(
     H: jax.Array,
     b: jax.Array,
@@ -120,17 +120,20 @@ def cholesky_solve(
     delta: float | None = None,
     refine: int = 2,
     tol: float = 1e-10,
+    equil_sweeps: int | None = 4,
 ):
     """Solve symmetric positive (semi)definite ``H x = b``.
 
     Pipeline (cvx/MatrixUtils.scala:468-516 re-designed branchless):
-    Ruiz-equilibrate -> shifted Cholesky -> two triangular solves ->
+    Ruiz-equilibrate (fixed ``equil_sweeps`` rounds by default — see
+    ops/kkt._make_block_solver; ``equil_sweeps=None`` restores the
+    convergent loop) -> shifted Cholesky -> two triangular solves ->
     ``refine`` rounds of iterative refinement on the original H ->
     relative residual as diagnostic.
 
     Returns ``(x, relres)``.
     """
-    d, Q = ruiz_equilibrate(H)
+    d, Q = ruiz_equilibrate(H, sweeps=equil_sweeps)
     L, _ = regularized_cholesky(Q, delta)
 
     def q_solve(rhs):

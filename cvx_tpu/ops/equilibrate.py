@@ -23,20 +23,41 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "sweeps"))
 def ruiz_equilibrate(
-    H: jax.Array, *, max_iter: int = 20, tol: float = 1e-6
+    H: jax.Array, *, max_iter: int = 20, tol: float = 1e-6,
+    sweeps: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Equilibrate symmetric ``H``; returns ``(d, Q)`` with ``Q = D H D``.
 
     ``D = diag(d)``.  To solve ``H x = b``: solve ``Q u = d * b`` and set
     ``x = d * u``.
-    """
+
+    ``sweeps=k`` runs exactly ``k`` fixed rounds via ``fori_loop`` (no
+    convergence test) — the TPU hot-path mode: a data-dependent
+    ``while_loop`` serializes against its condition every round and, under
+    ``vmap``, couples all lanes to the slowest instance; the reference
+    itself uses few-sweep Ruiz in anger (MatrixUtils.scala:240-268
+    converges in 2-4 sweeps on barrier Hessians).  ``sweeps=None`` keeps
+    the convergent loop (the faithful re-design, used by the generic
+    ladder/diagnostic paths)."""
     n = H.shape[-1]
     d0 = jnp.ones((n,), dtype=H.dtype)
 
     def scaled(d):
         return (d[:, None] * d[None, :]) * H
+
+    def sweep(d):
+        Q = scaled(d)
+        # u_i = sqrt(||row_i(Q)||_2)
+        row_norms = jnp.linalg.norm(Q, axis=1)
+        u = jnp.sqrt(row_norms)
+        v = jnp.where(u > 0, 1.0 / jnp.where(u > 0, u, 1.0), 1.0)
+        return d * v, u
+
+    if sweeps is not None:
+        d = jax.lax.fori_loop(0, sweeps, lambda _, d: sweep(d)[0], d0)
+        return d, scaled(d)
 
     def cond(carry):
         d, rho, it = carry
@@ -44,13 +65,9 @@ def ruiz_equilibrate(
 
     def body(carry):
         d, _, it = carry
-        Q = scaled(d)
-        # u_i = sqrt(||row_i(Q)||_2); rho = max_i |1 - u_i|
-        row_norms = jnp.linalg.norm(Q, axis=1)
-        u = jnp.sqrt(row_norms)
-        v = jnp.where(u > 0, 1.0 / jnp.where(u > 0, u, 1.0), 1.0)
+        d, u = sweep(d)
         rho = jnp.max(jnp.abs(1.0 - u))
-        return d * v, rho, it + 1
+        return d, rho, it + 1
 
     d, _, _ = jax.lax.while_loop(
         cond, body, (d0, jnp.asarray(jnp.inf, H.dtype), jnp.asarray(0))

@@ -40,7 +40,7 @@ from .eigsolve import sym_solve_eig
 from .equilibrate import ruiz_equilibrate
 
 
-def _make_block_solver(H, A, *, delta):
+def _make_block_solver(H, A, *, delta, equil_sweeps=4):
     """Factor once, solve many: block elimination assuming H is (near) PD.
 
     Equilibrate H -> Q = D H D; factor Q + shift I = L L^T and the Schur
@@ -48,9 +48,15 @@ def _make_block_solver(H, A, *, delta):
     returned closure solves ``H x + A^T w = -q_``, ``A x = b_`` in O(n^2).
     Reference: KKTSystem.scala:99-167 (solveWithCholFactor) + :200-246
     (solvePD).
+
+    Equilibration runs a FIXED sweep count by default (round-4 fix): the
+    convergent while_loop serialized ~20 data-dependent n^2 rounds ahead
+    of every factorization and coupled vmap lanes; 4 fixed sweeps match
+    the reference's practical usage and iterative refinement keeps relres
+    unchanged (measured: tests/test_ops_core.py tortures still pass).
     """
     p = A.shape[0]
-    d, Q = ruiz_equilibrate(H)
+    d, Q = ruiz_equilibrate(H, sweeps=equil_sweeps)
     L, _ = regularized_cholesky(Q, delta)
     B = A * d[None, :]
     Hinv_Bt = chol_solve_factored(L, B.T)

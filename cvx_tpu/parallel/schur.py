@@ -46,7 +46,9 @@ def _local_schur_pieces(H, C, q):
     sum_k C_k H_k^-1 q_k, and keep the factors for back-substitution."""
 
     def per_block(Hk, Ck, qk):
-        d, Qk = ruiz_equilibrate(Hk)
+        # fixed sweeps: a convergent while_loop under vmap couples every
+        # block to the slowest lane (see ops/kkt._make_block_solver)
+        d, Qk = ruiz_equilibrate(Hk, sweeps=4)
         L, _ = regularized_cholesky(Qk)
         B = Ck * d[None, :]
         Hinv_Ct = d[:, None] * chol_solve_factored(L, B.T)  # H^-1 C^T (nb,p)
