@@ -269,7 +269,8 @@ class KLCertificate:
     nu: jax.Array         # polished equality duals (f64)
 
 
-def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None, prior=None):
+def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None, prior=None,
+               compare_input: bool = True):
     """F64 finishing pass: refine a KL iterate to the reference's WRITTEN
     1e-8 duality-gap contract and certify it with measured residuals.
 
@@ -298,6 +299,14 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None, prior=None):
     Requires ``jax_enable_x64`` (raises at trace time otherwise — an f32
     "certificate" would be the exact lie this function exists to prevent).
     Jittable and vmappable; returns a ``KLCertificate``.
+
+    ``compare_input=False`` (warm production path): always return the
+    REFINED primal with its measured gap, falling back to the input only
+    when the refinement is non-finite (then gap = +inf, never a lie).
+    Skipping the input's objective drops the whole (n,) f64 ``log`` pass —
+    one of three remaining transcendental passes on the certified route —
+    at the cost of the (never-observed) possibility of returning a
+    slightly worse-but-still-certified point than the caller supplied.
     """
     f64 = jnp.float64
     if jnp.zeros((), f64).dtype != jnp.float64:
@@ -335,7 +344,7 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None, prior=None):
     Btz = jnp.einsum("in,i->n", B, z, precision="highest")
     y = R * jnp.exp(-Btz)               # = exp(-B'z - 1 + log p)
     sum_y = jnp.sum(y)
-    if gap0 is None:
+    if gap0 is None and compare_input:
         # warm branch: g(z) = -(w.z + sum_y) reuses the same exp pass
         xs = jnp.maximum(x64, jnp.asarray(1e-30, f64))
         gap0 = (jnp.einsum("n,n->", xs, jnp.log(xs) - logp,
@@ -359,6 +368,20 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None, prior=None):
         return viol, eq
 
     viol_ref, eq_ref = residuals(x_ref)
+    score_ref = jnp.maximum(gap_ref, 0.0) + viol_ref + eq_ref
+    if gap0 is None:
+        # no-compare production path: the refined point with its MEASURED
+        # gap, or the input with gap = +inf if refinement went non-finite
+        # (an infeasible instance's divergent dual) — the stall flag fires
+        # either way; the certificate is never fabricated
+        ok = jnp.isfinite(score_ref)
+        x_out = jnp.where(ok, x_ref, x64)
+        gap = jnp.where(ok, gap_ref, jnp.asarray(jnp.inf, f64))
+        viol_in, eq_in = residuals(x64)
+        viol = jnp.where(ok, viol_ref, viol_in)
+        eq_res = jnp.where(ok, eq_ref, eq_in)
+        return KLCertificate(x=x_out, gap=gap, ineq_res=viol,
+                             eq_res=eq_res, lam=z[:k], nu=z[k:])
     viol_in, eq_in = residuals(x64)
     # Selection must weigh FEASIBILITY, not just the signed gap: an
     # infeasible x has f(x) below p*, so its "gap" f(x) - g(z) can be
@@ -366,7 +389,6 @@ def kl_certify(H, u, A, b, x, polish_steps: int = 6, z0=None, prior=None):
     # active row by ~1e-7 and "wins" a min-gap comparison while being the
     # worse point).  Score = suboptimality + violations, both ~multiplier
     # scaled.
-    score_ref = jnp.maximum(gap_ref, 0.0) + viol_ref + eq_ref
     score_in = jnp.maximum(gap0, 0.0) + viol_in + eq_in
     # a non-finite input score (NaN x from an underflowed f32 lane) must
     # LOSE to any finite refinement — NaN comparisons are False, so the
@@ -636,7 +658,7 @@ class DistKL:
         cert = kl_certify(self.H, self.u, eqs.A, eqs.b, sol.x,
                           polish_steps=polish_steps,
                           z0=jnp.concatenate([sol.lam, sol.nu]),
-                          prior=self.prior)
+                          prior=self.prior, compare_input=False)
         nan = jnp.asarray(jnp.nan, jnp.float64)
         stalled = jnp.logical_or(
             jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
@@ -713,7 +735,8 @@ class DistKL:
         def certify_one(ui, ri, xi, zi):
             bi = jnp.concatenate([jnp.ones((1,), dtype), ri])
             cert = kl_certify(self.H, ui, eq_A, bi, xi, prior=self.prior,
-                              polish_steps=polish_steps, z0=zi)
+                              polish_steps=polish_steps, z0=zi,
+                              compare_input=False)
             return cert
 
         rb_ = rb if m_eq > 0 else jnp.zeros((B, 0), dtype)

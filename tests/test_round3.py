@@ -136,6 +136,8 @@ class TestCertified1e8:
         assert float(cert.gap) <= 1e-8
         assert float(cert.ineq_res) <= 1e-10
 
+    @pytest.mark.filterwarnings(
+        "ignore:Explicitly requested dtype float64:UserWarning")
     def test_certify_requires_x64(self):
         prev = jax.config.jax_enable_x64
         jax.config.update("jax_enable_x64", False)
