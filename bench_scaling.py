@@ -445,6 +445,54 @@ def kkt_factorizations(records, dtype):
         print(json.dumps(rec), flush=True)
 
 
+def big_cholesky(records, dtype, on_tpu):
+    """Single-large-instance Cholesky: XLA's 128-panel expander vs the
+    coarse-blocked re-blocking (ops/blocked_chol.py) that routes the
+    n^3/3 trailing-update FLOPs through full-width MXU syrk matmuls.
+    The round-3 verdict's missing item 3: the dense O(n^3) axis is where
+    "actually fast" was unproven (~10% f32 MFU at n=8192)."""
+    from cvx_tpu.ops.blocked_chol import cholesky_blocked
+
+    sizes = (2048, 4096, 8192) if on_tpu else (512,)
+    for n in sizes:
+        M = jax.random.normal(jax.random.PRNGKey(n), (n, n), dtype) \
+            / float(np.sqrt(n))
+        H = M @ M.T + 2.0 * jnp.eye(n, dtype=dtype)
+        reps = {2048: 20, 4096: 10}.get(n, 5) if on_tpu else 2
+        for meth, fn in (("xla", lambda A: jnp.linalg.cholesky(A)),
+                         ("blocked", lambda A: cholesky_blocked(A, bk=512))):
+            @jax.jit
+            def run(H, fn=fn):
+                L = fn(H)
+
+                def body(i, c):
+                    H_, L = c
+                    L = fn(H_)
+                    return H_ * (1.0 + 1e-12 * jnp.mean(L)), L
+
+                return jax.lax.fori_loop(
+                    0, reps - 1, body,
+                    (H * (1.0 + 1e-12 * jnp.mean(L)), L))
+
+            sec, (_, L) = timed(run, H, reps=reps)
+            # reconstruction error on a sample of rows (full n^2 f64 host
+            # recompute at n=8192 is slow through the tunnel)
+            Lh = np.tril(np.asarray(L, np.float64))
+            idx = np.linspace(0, n - 1, 64).astype(int)
+            err = float(np.max(np.abs(
+                Lh[idx] @ Lh.T - np.asarray(H, np.float64)[idx])))
+            rec = {
+                "metric": f"big_chol_{meth}_n{n}",
+                "value": round(1.0 / sec, 2), "unit": "factorizations/s",
+                "ms_per_solve": round(sec * 1e3, 2),
+                "max_abs_err_sampled": err,
+                "mfu_pct_vs_f32_49tflops": round(
+                    100.0 * (n**3 / 3) / sec / 49e12, 2),
+            }
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+
+
 def batched_small_cholesky(records, dtype, on_tpu):
     """The scenario-fleet factorization regime the north star names ("KKT
     factorizations/s"): MANY small Cholesky factorizations at once —
@@ -540,6 +588,8 @@ def main():
         kkt_factorizations(records, dtype)
     if os.environ.get("SCALE_BCHOL", "1") == "1":
         batched_small_cholesky(records, dtype, on_tpu)
+    if os.environ.get("SCALE_BIGCHOL", "1") == "1":
+        big_cholesky(records, dtype, on_tpu)
     if os.environ.get("SCALE_SEP", "0") == "1":
         separable_config5(records, dtype)
 

@@ -91,6 +91,39 @@ class TestRuizFixedSweeps:
         assert float(jnp.max(jnp.abs(rows - 1.0))) < 0.2
 
 
+class TestBlockedCholesky:
+    """Coarse-blocked single-instance Cholesky (ops/blocked_chol.py) must
+    agree with the XLA built-in to rounding at every blocking shape,
+    including ragged last blocks and f32."""
+
+    @pytest.mark.parametrize("n,bk", [(64, 32), (100, 32), (384, 128),
+                                      (1000, 256)])
+    def test_matches_xla(self, n, bk):
+        from cvx_tpu.ops.blocked_chol import cholesky_blocked
+        M = np.random.default_rng(n).standard_normal((n, n)) / np.sqrt(n)
+        H = jnp.asarray(M @ M.T + 2 * np.eye(n))
+        L = cholesky_blocked(H, bk=bk)
+        assert float(jnp.max(jnp.abs(L - jnp.linalg.cholesky(H)))) < 1e-13
+        assert float(jnp.max(jnp.abs(L @ L.T - H))) < 1e-12
+
+    def test_f32(self):
+        from cvx_tpu.ops.blocked_chol import cholesky_blocked
+        n = 512
+        M = np.random.default_rng(0).standard_normal((n, n)) / np.sqrt(n)
+        H = jnp.asarray(M @ M.T + 2 * np.eye(n), jnp.float32)
+        L = cholesky_blocked(H, bk=128)
+        err = float(jnp.max(jnp.abs(
+            L.astype(jnp.float64) @ L.astype(jnp.float64).T
+            - H.astype(jnp.float64))))
+        assert err < 1e-5
+
+    def test_small_n_delegates(self):
+        from cvx_tpu.ops.blocked_chol import cholesky_blocked
+        H = jnp.eye(16) * 4.0
+        assert float(jnp.max(jnp.abs(
+            cholesky_blocked(H, bk=512) - 2.0 * jnp.eye(16)))) < 1e-14
+
+
 class TestCertifyGapIsMeasured:
     def test_reported_gap_matches_host_recompute(self):
         """kl_certify's gap must equal the independently recomputed
