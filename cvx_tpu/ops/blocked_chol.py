@@ -36,13 +36,24 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@partial(jax.jit, static_argnames=("bk",))
-def cholesky_blocked(H: jax.Array, *, bk: int = 512) -> jax.Array:
+@partial(jax.jit, static_argnames=("bk", "panel_via_inverse"))
+def cholesky_blocked(H: jax.Array, *, bk: int = 512,
+                     panel_via_inverse: bool = True) -> jax.Array:
     """Lower Cholesky factor of symmetric PD ``H`` (n, n), coarse-blocked.
 
     Supports any n >= 1 (last block may be ragged).  Single instance only —
     for batches of small matrices use ``lax.linalg.cholesky``, which is
     memory-bound-optimal there (ops/pallas_chol.py docstring).
+
+    ``panel_via_inverse=True`` (default) computes the row panel as
+    ``P @ (Ld^-1)^T`` with an explicitly inverted bk x bk diagonal factor
+    (one identity-RHS triangular solve per block step) — the cuSOLVER
+    TRTRI+GEMM trick: XLA's TriangularSolveExpander is itself 128-blocked
+    and would re-serialize the (n-k) x bk panel; an explicit inverse turns
+    it into one MXU matmul.  On an equilibrated + shifted block (condition
+    O(1/delta) at worst) the extra forward-error factor is benign and the
+    caller's iterative refinement absorbs it; ``False`` uses the
+    triangular solve.
     """
     n = H.shape[-1]
     if H.ndim != 2:
@@ -67,8 +78,14 @@ def cholesky_blocked(H: jax.Array, *, bk: int = 512) -> jax.Array:
         if rest > 0:
             P = M[kb:, :kb]                       # (rest, kb)
             # P_L = P Ld^{-T}: row-panel of L below the diagonal block
-            P_L = lax.linalg.triangular_solve(
-                Ld, P, left_side=False, lower=True, transpose_a=True)
+            if panel_via_inverse:
+                Ld_inv = lax.linalg.triangular_solve(
+                    Ld, jnp.eye(kb, dtype=dtype), left_side=True,
+                    lower=True)
+                P_L = hi(P, Ld_inv.T)
+            else:
+                P_L = lax.linalg.triangular_solve(
+                    Ld, P, left_side=False, lower=True, transpose_a=True)
             # trailing syrk: the MXU-dominant step
             T = M[kb:, kb:] - hi(P_L, P_L.T)
             T = 0.5 * (T + T.T)   # resymmetrize: rounding drift compounds
