@@ -301,9 +301,18 @@ def _run(n):
                                   u=jnp.zeros((H.shape[0],), dtype),
                                   dtype=dtype)
 
+        # schedule knobs for hardware sweeps: kernel steps default to the
+        # flagship 12 (the f32 start only has to settle the active set —
+        # the f64 polish owns final accuracy), polish to the measured
+        # 2-step quadratic-convergence floor
+        cert_steps = int(os.environ.get("BENCH_CERT_STEPS", 12))
+        cert_polish = int(os.environ.get("BENCH_CERT_POLISH", 2))
+
         def vcert(pA, pB):
             u = jnp.stack([-pA, pB], axis=1)
-            s = cert_prob.solve_certified_batch(u, pars=pars)
+            s = cert_prob.solve_certified_batch(u, pars=pars,
+                                                steps=cert_steps,
+                                                polish_steps=cert_polish)
             return s.x, s.duality_gap, s.ineq_res, s.eq_gap
 
         reps_c = max(3, reps // 2)
