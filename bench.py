@@ -77,11 +77,12 @@ def main():
     # Watchdog: SIGALRM cannot interrupt a hang inside C-level plugin/gRPC
     # init (the handler only runs once control returns to the interpreter),
     # so a daemon thread guarantees the driver capture gets ONE parseable
-    # JSON line even if the process is wedged in native code.  40 min
+    # JSON line even if the process is wedged in native code.  50 min
     # default clears the worst observed legitimate run (r02: 677 s first
-    # compile + certified block) with margin.
+    # compile, remote compiles observed up to ~560 s EACH, and the
+    # certified block compiles separately) with margin.
     import threading
-    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", 3000))
     done = threading.Event()
 
     def _watchdog():

@@ -459,11 +459,12 @@ def big_cholesky(records, dtype, on_tpu):
             / float(np.sqrt(n))
         H = M @ M.T + 2.0 * jnp.eye(n, dtype=dtype)
         reps = {2048: 20, 4096: 10}.get(n, 5) if on_tpu else 2
+        bk = 512 if on_tpu else 128   # CPU smoke at n=512 must still block
         for meth, fn in (
                 ("xla", lambda A: jnp.linalg.cholesky(A)),
-                ("blocked", lambda A: cholesky_blocked(A, bk=512)),
+                ("blocked", lambda A: cholesky_blocked(A, bk=bk)),
                 ("blocked_trsm", lambda A: cholesky_blocked(
-                    A, bk=512, panel_via_inverse=False))):
+                    A, bk=bk, panel_via_inverse=False))):
             @jax.jit
             def run(H, fn=fn):
                 L = fn(H)
