@@ -188,8 +188,23 @@ def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
     def step(_, zs):
         z = list(zs)
         y = y_of(z)
-        f0 = val_of(z, y)
-        g = grad_of(z, y)
+        # shared (bt, n) products y * B_j and their row sums: the gradient
+        # AND the Hessian's k-column both consume rsum(y * B_j), and the
+        # remaining Hessian entries consume (y * B_i) * B_j — computing
+        # yh[] once removes ~dim redundant full-width multiply passes per
+        # Newton step (round-4 kernel diet, with the squared line-search
+        # chain below)
+        yh = {}
+        ryh = {}
+        for j in range(dim):
+            if j != k:
+                yh[j] = y * hrow(j)
+                ryh[j] = rsum(yh[j])
+        ry = rsum(y)
+        f0 = ry
+        for i in range(dim):
+            f0 = f0 + ws[i] * z[i]
+        g = [ws[j] - (ry if j == k else ryh[j]) for j in range(dim)]
 
         # active-set mask: frozen coordinates get a unit row/col
         frees = []
@@ -208,13 +223,13 @@ def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
         for i in range(dim):
             for j in range(i, dim):
                 if i == k and j == k:
-                    mij = rsum(y)
+                    mij = ry
                 elif i == k:
-                    mij = rsum(y * hrow(j))
+                    mij = ryh[j]
                 elif j == k:
-                    mij = rsum(y * hrow(i))
+                    mij = ryh[i]
                 else:
-                    mij = rsum(y * hrow(i) * hrow(j))
+                    mij = rsum(yh[i] * hrow(j))
                 mij = mij * frees[i] * frees[j]
                 if i == j:
                     mij = mij + (1.0 - frees[i])
@@ -261,37 +276,49 @@ def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
         t_full = jnp.minimum(jnp.clip(t_bd, 0.0, 1.0), t_trust)
 
         # candidates are halvings of t_full along the ray:
-        #   y(z + t dz) = y(z) * exp(-t (B'dz)) — the EXPONENT is halved
-        #   per candidate (one exp each).  NOT a sqrt chain of one clipped
-        #   factor: clipping before the chain distorts every deeper
-        #   candidate (exp(clip(e)/2^i) != exp(clip(e/2^i)) once |e|
-        #   exceeds the clip, so a truly-huge step could be scored as
-        #   acceptable at i >= 2 and break descent monotonicity).
+        #   y(z + t dz) = y(z) * exp(-t (B'dz)).  Evaluated DEEPEST-FIRST
+        #   with ONE exp at the deepest exponent and a squaring per level
+        #   (exp(e/2^i)^2 = exp(e/2^(i-1))): n_ls exps -> 1 exp +
+        #   (n_ls - 1) multiplies per step (round-4 kernel diet).  The
+        #   squared chain is sound where the old caveat about a CLIPPED
+        #   sqrt chain was not: squaring a clipped/overflowed factor only
+        #   OVERSTATES the deeper candidates' exp (inf/huge), which
+        #   disqualifies them via the isfinite test — it can never make a
+        #   truly-huge step look acceptable.  Squaring relative error
+        #   (~2^i eps at level i) lands only in candidate SCORING, far
+        #   below the value-resolution acceptance band; the accepted z
+        #   update z + t dz is exact either way.
         wdir = dz[k] * jnp.ones((bt, 1), dtype)
         for j in range(dim):
             if j != k:
                 wdir = wdir + dz[j] * hrow(j)
         max_e = 0.9 * jnp.log(jnp.finfo(dtype).max)
-        e_t = -t_full * wdir                     # raw, finite exponent
+        scale_deep = 1.0 / float(2 ** (n_ls - 1))
+        e_deep = -(t_full * scale_deep) * wdir
+        # a lane whose DEEPEST exponent already clips would score every
+        # candidate on a distorted factor: disqualify the whole chain
+        chain_bad = jnp.max(e_deep * valid, axis=1,
+                            keepdims=True) > max_e
+        efac = jnp.exp(jnp.clip(e_deep, -max_e, max_e))
         best_f = f0
         tf = jnp.zeros((bt, 1), dtype)
-        t = t_full
-        for _ in range(n_ls):
-            efac = jnp.exp(jnp.clip(e_t, -max_e, max_e))
+        t = t_full * scale_deep
+        for lev in range(n_ls):
             sy = rsum(y * efac)
             ft = sy
             for i in range(dim):
                 ft = ft + ws[i] * (z[i] + t * dz[i])
-            # a clipped-overflow lane means the TRUE value is astronomically
-            # larger than computed — disqualify the candidate outright
-            clipped_hi = jnp.max(e_t * valid, axis=1, keepdims=True) > max_e
             ft = jnp.where(jnp.logical_or(jnp.logical_not(jnp.isfinite(ft)),
-                                          clipped_hi), jnp.inf, ft)
-            bf = ft < best_f
+                                          chain_bad), jnp.inf, ft)
+            # accept only strict improvements over f0; among equal-valued
+            # improvements the LARGER t wins (the <= replaces as t grows),
+            # matching the old large-to-small strict-< scan
+            bf = jnp.logical_and(ft < f0, ft <= best_f)
             best_f = jnp.where(bf, ft, best_f)
             tf = jnp.where(bf, t, tf)
-            t = 0.5 * t
-            e_t = 0.5 * e_t
+            if lev < n_ls - 1:
+                efac = efac * efac
+                t = 2.0 * t
 
         finite = jnp.ones((bt, 1), jnp.bool_)
         for j in range(dim):
