@@ -474,11 +474,18 @@ def big_cholesky(records, dtype, on_tpu):
                     L = fn(H_)
                     return H_ * (1.0 + 1e-12 * jnp.mean(L)), L
 
-                return jax.lax.fori_loop(
+                H_, L = jax.lax.fori_loop(
                     0, reps - 1, body,
                     (H * (1.0 + 1e-12 * jnp.mean(L)), L))
+                # scalar completion leaf: timed() forces completion by
+                # pulling the SMALLEST leaf — without this the timed region
+                # includes a (n, n) host transfer through the remote tunnel
+                # (16 MB ~ 34 ms at n=2048), which dominated the round-4
+                # first-cut rows and made them disagree 14x with the
+                # kkt_factorize_solve rows for the same factorization
+                return H_, L, jnp.mean(L)
 
-            sec, (_, L) = timed(run, H, reps=reps)
+            sec, (_, L, _) = timed(run, H, reps=reps)
             # reconstruction error on a sample of rows (full n^2 f64 host
             # recompute at n=8192 is slow through the tunnel)
             Lh = np.tril(np.asarray(L, np.float64))
@@ -533,12 +540,16 @@ def batched_small_cholesky(records, dtype, on_tpu):
                     L = cholesky_batched(Hb_, method=meth, **kw)
                     return Hb_ * (1.0 + 1e-12 * jnp.mean(L)), L
 
-                return jax.lax.fori_loop(
+                Hb_, L = jax.lax.fori_loop(
                     0, reps - 1, body,
                     (Hb * (1.0 + 1e-12 * jnp.mean(L)), L))
+                # scalar completion leaf (see big_cholesky: without it the
+                # timed region pulls a (batch, n, n) buffer — 268 MB at
+                # 4096 x 128 x 128 — through the remote tunnel)
+                return Hb_, L, jnp.mean(L)
 
             try:
-                sec, (_, L) = timed(run, Hb, reps=reps)
+                sec, (_, L, _) = timed(run, Hb, reps=reps)
             except Exception as e:   # pallas OOM/lowering failure: record it
                 rec = {"metric": f"batched_chol_{meth}_n{n_eff}_b{batch}",
                        "error": f"{type(e).__name__}: {str(e)[:160]}"}

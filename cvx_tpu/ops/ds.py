@@ -21,31 +21,81 @@ makes the error term MORE exact).  All functions are plain jnp expressions —
 they work identically under Pallas/Mosaic, XLA jit, and NumPy-style eager,
 which is how the unit tests validate them against real f64 on CPU.
 
+COMPILER HAZARD (measured, round 4): when one operand of ``two_sum`` is a
+materialized CONSTANT (e.g. a broadcast Taylor coefficient), XLA's algebraic
+simplifier applies the FP-unsound rewrite ``(b + c) - c -> b``, collapsing
+the EFT's error term to a first-order estimate (``ds_exp`` lost 5 decimal
+digits under jit while exact in eager; optimized-HLO dump shows the
+rewritten ``b - b`` term).  Both EFT sums therefore route the leading sum
+through ``lax.optimization_barrier`` — an identity that blocks pattern
+matching across it.  Mosaic (the Pallas TPU compiler) does NOT perform the
+rewrite (measured: a minimal two_sum-with-constant kernel is exact) and
+does not implement ``optimization_barrier`` either, so kernels disable the
+guard while TRACING their body via ``inside_mosaic()``; Pallas interpret
+mode executes the body as ordinary XLA ops and must KEEP the guard.
+
 Scalars below (LN2 etc.) are split on the HOST in f64 — never materialize
 f64 constants on a TPU device (CLAUDE.md float32x2 range note).
 """
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
+# --- the XLA-simplifier guard (module-docstring COMPILER HAZARD note) ---
+
+_tls = threading.local()
+
+
+@contextlib.contextmanager
+def inside_mosaic(active: bool = True):
+    """Trace-time switch: drop the optimization_barrier guards while a
+    Pallas TPU kernel body is being traced (Mosaic cannot lower the
+    primitive and, measured, does not need it).  Pallas kernels wrap
+    their body in ``with ds.inside_mosaic(not interpret):`` — interpret
+    mode runs the body as ordinary XLA ops and must keep the guard."""
+    prev = getattr(_tls, "in_mosaic", False)
+    _tls.in_mosaic = bool(active)
+    try:
+        yield
+    finally:
+        _tls.in_mosaic = prev
+
+
+def _guard(x):
+    if getattr(_tls, "in_mosaic", False):
+        return x
+    return jax.lax.optimization_barrier(x)
+
+
 # --- error-free transformations ---------------------------------------
 
 
 def two_sum(a, b):
-    """s + err == a + b exactly (Knuth)."""
-    s = a + b
+    """s + err == a + b exactly (Knuth).
+
+    The barrier hides ``s``'s provenance from the algebraic simplifier —
+    see the module-docstring COMPILER HAZARD note.
+    """
+    s = _guard(a + b)
     bb = s - a
     err = (a - (s - bb)) + (b - bb)
     return s, err
 
 
 def fast_two_sum(a, b):
-    """s + err == a + b exactly, REQUIRES |a| >= |b| (or a == 0)."""
-    s = a + b
+    """s + err == a + b exactly, REQUIRES |a| >= |b| (or a == 0).
+
+    Same guard as ``two_sum``: without it, ``b - (s - a)`` collapses to
+    ``b - b`` when ``a`` is a constant.
+    """
+    s = _guard(a + b)
     err = b - (s - a)
     return s, err
 

@@ -41,6 +41,7 @@ reference's barrier-on-the-dual with a direct bound-constrained solve.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -113,14 +114,15 @@ def _solve_small(m, gf, dim, dtype):
     return dz
 
 
-def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
-                    n: int, k: int, m_eq: int, n_valid: int, n_steps: int,
-                    z0: float, n_ls: int, eps: float):
-    bs = hs_ref[...]                                 # (bt, k + m_eq, n)
-    wu = u_ref[...]                                  # (bt, k + m_eq)
-    logp = logp_ref[...]                             # (1, n) log prior
+def _make_ctx(bs, wu, logp, *, k: int, m_eq: int, n_valid: int):
+    """Shared closures over one (bt, dim-1, n) instance tile: the dual's
+    row accessors, masked reductions and value/gradient forms — used by
+    BOTH the f32 solve kernel and the ds-certified kernel's epilogue."""
+    import types
+
     dtype = bs.dtype
     bt = bs.shape[0]
+    n = bs.shape[2]
     dim = k + 1 + m_eq
 
     # B = [H; 1'; A] row layout; w = (u, 1, r)
@@ -184,6 +186,20 @@ def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
     def project(z):
         return [jnp.maximum(z[j], 0.0) if j < k else z[j]
                 for j in range(dim)]
+
+    return types.SimpleNamespace(
+        dtype=dtype, bt=bt, n=n, dim=dim, k=k, m_eq=m_eq, hrow=hrow,
+        ws=ws, valid=valid, rsum=rsum, btz_of=btz_of, y_of=y_of,
+        val_of=val_of, grad_of=grad_of, pgnorm=pgnorm, project=project)
+
+
+def _newton_z(ctx, *, n_steps: int, z0: float, n_ls: int, eps: float):
+    """The fixed-schedule f32 active-set projected-Newton loop (the body
+    of the original fused kernel), on a ctx from ``_make_ctx``."""
+    dtype, bt, dim, k = ctx.dtype, ctx.bt, ctx.dim, ctx.k
+    hrow, ws, valid, rsum = ctx.hrow, ctx.ws, ctx.valid, ctx.rsum
+    y_of, val_of, grad_of = ctx.y_of, ctx.val_of, ctx.grad_of
+    pgnorm, project = ctx.pgnorm, ctx.project
 
     def step(_, zs):
         z = list(zs)
@@ -370,9 +386,19 @@ def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
     z0s = tuple(jnp.full((bt, 1), z0, dtype) for _ in range(dim))
     # int32 loop bounds: with jax_enable_x64 the Python ints would trace
     # as i64 counters, which Mosaic fails to legalize on TPU
-    z = list(lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step, z0s))
+    return list(lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), step, z0s))
 
-    y = y_of(z)
+
+def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
+                    n: int, k: int, m_eq: int, n_valid: int, n_steps: int,
+                    z0: float, n_ls: int, eps: float):
+    ctx = _make_ctx(hs_ref[...], u_ref[...], logp_ref[...],
+                    k=k, m_eq=m_eq, n_valid=n_valid)
+    dtype, valid, rsum, val_of = ctx.dtype, ctx.valid, ctx.rsum, ctx.val_of
+    logp = logp_ref[...]
+    z = _newton_z(ctx, n_steps=n_steps, z0=z0, n_ls=n_ls, eps=eps)
+
+    y = ctx.y_of(z)
     sy = rsum(y)
     # sum(y) can underflow to exactly 0 (primal-infeasible instance whose
     # dual climbs without bound): guard the renormalization and force the
@@ -388,6 +414,326 @@ def _kl_dual_kernel(hs_ref, u_ref, logp_ref, x_ref, gap_ref, z_ref, *,
     # the dual iterate itself: the f64 finishing pass (models/dist_kl.py
     # kl_certify) warm-starts from it with the active set already settled
     z_ref[...] = jnp.concatenate(z, axis=1)
+
+
+def _ds_yval(ctx, logp_ds, zd, max_e: float = 80.0):
+    """y = p exp(-(B'z) - 1) and B'z, both in double-single, masked."""
+    from . import ds as D
+
+    k, dim = ctx.k, ctx.dim
+    btz = zd[k]                            # the ones-row term, (bt, 1) ds
+    for j in range(dim):
+        if j != k:
+            btz = D.ds_add(btz, D.ds_mul_f(zd[j], ctx.hrow(j)))
+    arg = D.ds_add(D.ds_neg(btz), logp_ds)
+    arg = D.ds_add_f(arg, -1.0)
+    yh, yl = D.ds_exp(arg, max_e=max_e)
+    return (yh * ctx.valid, yl * ctx.valid), btz
+
+
+def _ds_polish(ctx, logp_ds, z32, steps: int, eps: float):
+    """Warm projected-Newton polish in double-single arithmetic, fused
+    into the kernel epilogue — the in-VMEM equivalent of
+    models/dist_kl.py::_kl_warm_polish (same active-set algebra).
+
+    The GRADIENT is computed in ds (~1e-13 relative: cancellation in
+    w - B y is what kills plain f32); the Newton SYSTEM and step length
+    stay f32 — an inexact direction only slows convergence (rate ~f32 eps
+    per step), it cannot bias the measured certificate, and from the f32
+    kernel's ~1e-6 start one ds step lands ~1e-12.  Statically unrolled
+    (2-3 steps); each step costs ONE ds_exp pass over the (bt, n) tile.
+    """
+    from . import ds as D
+
+    k, dim, dtype, bt = ctx.k, ctx.dim, ctx.dtype, ctx.bt
+    hrow, ws, rsum = ctx.hrow, ctx.ws, ctx.rsum
+    zd = [D.ds(z32[j]) for j in range(dim)]
+    for _ in range(steps):
+        y, _ = _ds_yval(ctx, logp_ds, zd)
+        ry = D.ds_sum(y)
+        g = []
+        for j in range(dim):
+            s = ry if j == k else D.ds_sum(D.ds_mul_f(y, hrow(j)))
+            g.append(D.ds_sub(D.ds(ws[j]), s))
+        # active-set mask on the (correctly rounded) hi parts
+        frees, gf = [], []
+        for j in range(dim):
+            if j < k:
+                at_b = jnp.logical_and(zd[j][0] <= 0.0, g[j][0] > 0.0)
+                fr = jnp.where(at_b, 0.0, jnp.ones_like(g[j][0]))
+            else:
+                fr = jnp.ones_like(g[j][0])
+            frees.append(fr)
+            gf.append(g[j][0] * fr)
+        # f32 Hessian from the hi part of y (see docstring: direction
+        # accuracy does not limit the certificate)
+        yh = y[0]
+        yhh, ryh = {}, {}
+        for j in range(dim):
+            if j != k:
+                yhh[j] = yh * hrow(j)
+                ryh[j] = rsum(yhh[j])
+        ryf = rsum(yh)
+        m = {}
+        for i in range(dim):
+            for j in range(i, dim):
+                if i == k and j == k:
+                    mij = ryf
+                elif i == k:
+                    mij = ryh[j]
+                elif j == k:
+                    mij = ryh[i]
+                else:
+                    mij = rsum(yhh[i] * hrow(j))
+                mij = mij * frees[i] * frees[j]
+                if i == j:
+                    mij = mij + (1.0 - frees[i])
+                    mij = mij * (1.0 + 10.0 * eps)
+                m[(i, j)] = mij
+        dz = _solve_small(m, gf, dim, dtype)
+        # bound-locked lam cannot move down (same two guards as the f32
+        # step and _kl_warm_polish)
+        for j in range(k):
+            dz[j] = jnp.where(
+                jnp.logical_and(zd[j][0] <= 0.0, dz[j] < 0.0), 0.0, dz[j])
+        t_bd = jnp.full((bt, 1), jnp.inf, dtype)
+        for j in range(k):
+            tj = jnp.where(dz[j] < 0,
+                           -zd[j][0] / jnp.where(dz[j] < 0, dz[j], -1.0),
+                           jnp.inf)
+            t_bd = jnp.minimum(t_bd, tj)
+        t = jnp.minimum(jnp.asarray(1.0, dtype), t_bd)
+        fin = jnp.ones((bt, 1), jnp.bool_)
+        for j in range(dim):
+            fin = jnp.logical_and(fin, jnp.isfinite(dz[j]))
+        z_new = []
+        for j in range(dim):
+            nj = D.ds_add(zd[j], D.ds_prod_ff(t, dz[j]))
+            if j < k:
+                # project + snap boundary landings (t is f32, so the
+                # landing residue is O(f32 eps * |z|)) to exactly 0
+                zero = jnp.logical_or(
+                    nj[0] < 0.0,
+                    nj[0] <= 8.0 * eps * jnp.abs(zd[j][0]))
+                nj = (jnp.where(zero, 0.0, nj[0]),
+                      jnp.where(zero, 0.0, nj[1]))
+            nj = (jnp.where(fin, nj[0], zd[j][0]),
+                  jnp.where(fin, nj[1], zd[j][1]))
+            z_new.append(nj)
+        zd = z_new
+    return zd
+
+
+def _kl_dual_cert_kernel(hs_ref, u_ref, logph_ref, logpl_ref,
+                         xh_ref, xl_ref, zhl_ref, stats_ref, *,
+                         n: int, k: int, m_eq: int, n_valid: int,
+                         n_steps: int, z0: float, n_ls: int, eps: float,
+                         polish_steps: int, interpret: bool):
+    """The CERTIFIED whole-solve kernel: f32 projected-Newton dual solve +
+    double-single (float32x2) warm polish + in-kernel ds certificate —
+    gap, inequality and equality residuals measured to ~1e-12 absolute
+    WITHOUT any XLA-emulated-f64 pass outside the kernel.  Outputs: the
+    refined primal as a ds pair (x_hi, x_lo), the polished dual as
+    [z_hi | z_lo] (bt, 2 dim), and stats = [gap_hi, gap_lo, ineq_res,
+    eq_res] (bt, 4).
+
+    The body traces under ``ds.inside_mosaic``: the ds library's
+    XLA-simplifier guards are dropped for the Mosaic lowering (which
+    neither needs nor implements them) but KEPT in interpret mode, where
+    the body runs as ordinary XLA ops and the simplifier would otherwise
+    destroy the error-free transformations (ds.py COMPILER HAZARD)."""
+    from . import ds as D
+
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(D.inside_mosaic(not interpret))
+        _kl_dual_cert_body(hs_ref, u_ref, logph_ref, logpl_ref, xh_ref,
+                           xl_ref, zhl_ref, stats_ref, n=n, k=k, m_eq=m_eq,
+                           n_valid=n_valid, n_steps=n_steps, z0=z0,
+                           n_ls=n_ls, eps=eps, polish_steps=polish_steps)
+
+
+def _kl_dual_cert_body(hs_ref, u_ref, logph_ref, logpl_ref,
+                       xh_ref, xl_ref, zhl_ref, stats_ref, *,
+                       n, k, m_eq, n_valid, n_steps, z0, n_ls, eps,
+                       polish_steps):
+    from . import ds as D
+
+    ctx = _make_ctx(hs_ref[...], u_ref[...], logph_ref[...],
+                    k=k, m_eq=m_eq, n_valid=n_valid)
+    dtype, bt, dim, valid = ctx.dtype, ctx.bt, ctx.dim, ctx.valid
+    z32 = _newton_z(ctx, n_steps=n_steps, z0=z0, n_ls=n_ls, eps=eps)
+    logp_ds = (logph_ref[...], logpl_ref[...])
+    zd = _ds_polish(ctx, logp_ds, z32, polish_steps, eps)
+
+    # final ds evaluation pass: ONE ds_exp serves the refined primal, both
+    # gap terms, and every residual (cf. kl_certify's shared-pass note)
+    y, btz = _ds_yval(ctx, logp_ds, zd)
+    sy = D.ds_sum(y)
+    dead = sy[0] <= 0.0            # divergent dual of an infeasible lane
+    sy_g = (jnp.where(dead, 1.0, sy[0]), jnp.where(dead, 0.0, sy[1]))
+    x = D.ds_mul(y, D.ds_recip(sy_g))                    # (bt, n) ds
+    wz = D.ds_mul_f(zd[0], ctx.ws[0])
+    for j in range(1, dim):
+        wz = D.ds_add(wz, D.ds_mul_f(zd[j], ctx.ws[j]))
+    # f(x) = sum x (log x - log p) with log x - log p = -B'z - 1 - log sy:
+    # the (n,)-log collapses to one scalar ds_log; sum x (computed, ~1 to
+    # ds rounding) multiplies the scalar term so no sum-to-one assumption
+    # enters the certificate
+    xbtz = D.ds_sum(D.ds_mul(x, btz), valid=valid)
+    sumx = D.ds_sum(x, valid=valid)
+    lsy = D.ds_log(sy_g)
+    t1 = D.ds_mul(D.ds_add_f(lsy, 1.0), sumx)
+    gap = D.ds_add(D.ds_sub(D.ds_neg(xbtz), t1), D.ds_add(wz, sy_g))
+    gap_h = jnp.where(dead, jnp.asarray(jnp.inf, dtype), gap[0])
+    gap_l = jnp.where(dead, jnp.zeros_like(gap[1]), gap[1])
+    # residuals: max(-x, Hx - u)_+ and the FULL equality system
+    viol = jnp.max(jnp.maximum(-x[0], 0.0) * valid, axis=1, keepdims=True)
+    for i in range(k):
+        ri = D.ds_sub(D.ds_sum(D.ds_mul_f(x, ctx.hrow(i)), valid=valid),
+                      D.ds(ctx.ws[i]))
+        viol = jnp.maximum(viol, jnp.maximum(ri[0], 0.0))
+    eq = jnp.abs(D.ds_add_f(sumx, -1.0)[0])
+    for j in range(k + 1, dim):
+        ej = D.ds_sub(D.ds_sum(D.ds_mul_f(x, ctx.hrow(j)), valid=valid),
+                      D.ds(ctx.ws[j]))
+        eq = jnp.maximum(eq, jnp.abs(ej[0]))
+
+    xh_ref[...] = x[0] * valid
+    xl_ref[...] = x[1] * valid
+    zhl_ref[...] = jnp.concatenate([zd[j][0] for j in range(dim)]
+                                   + [zd[j][1] for j in range(dim)], axis=1)
+    stats_ref[...] = jnp.concatenate([gap_h, gap_l, viol, eq], axis=1)
+
+
+def _next_pow2(v: int) -> int:
+    p = 1
+    while p < v:
+        p *= 2
+    return p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "polish_steps", "z0", "n_ls", "bt",
+                     "interpret"))
+def kl_dual_fused_cert(
+    Hs: jax.Array,   # (B, k, n) scenario inequality rows, f32
+    u: jax.Array,    # (B, k)
+    A: jax.Array | None = None,   # (B, m_eq, n) extra equality rows
+    r: jax.Array | None = None,   # (B, m_eq)
+    log_prior: jax.Array | None = None,   # (n,) f64 log p, None = uniform
+    *,
+    n_steps: int = 12,
+    polish_steps: int = 2,
+    z0: float = 1e-3,
+    n_ls: int = 5,
+    bt: int = 256,
+    interpret: bool = False,
+):
+    """Certified whole-solve: f32 dual Newton + fused double-single polish
+    and certificate, all inside ONE Pallas kernel.
+
+    Returns ``(x_hi, x_lo, z_hi, z_lo, gap_hi, gap_lo, ineq_res, eq_res)``
+    — combine hi + lo in f64 OUTSIDE the kernel (``hi.astype(f64) +
+    lo.astype(f64)``, exact) for the certified leaves.  The measured gap
+    is honest to ~1e-12 absolute (ds arithmetic; validated against a host
+    f64 recompute in tests/test_round4.py) — far below the reference's
+    1e-8 contract (SolverParams.scala:41).  ``log_prior`` should carry
+    full f64 precision when given (it is split hi/lo on the host side of
+    the kernel); data rows/rhs are exact f32 problem data.
+
+    The row width is padded to the next POWER OF TWO (ds_sum's
+    contiguous-halves tree) — at n = 10000 that is 16384 lanes (~1.6x the
+    f32 kernel's 10112), the price of error-free reductions.
+    """
+    B, k, n = Hs.shape
+    if (A is None) != (r is None):
+        raise ValueError("kl_dual_fused_cert: A and r must be given "
+                         "together (extra equality rows A x = r)")
+    if A is None:
+        A = jnp.zeros((B, 0, n), Hs.dtype)
+        r = jnp.zeros((B, 0), Hs.dtype)
+    m_eq = A.shape[1]
+    dim = k + 1 + m_eq
+    if not (k + m_eq >= 1 and dim <= 5):
+        raise ValueError(
+            f"kl_dual_fused_cert supports 1 <= k + m_eq and "
+            f"k + 1 + m_eq <= 5, got k={k}, m_eq={m_eq}")
+    # hi/lo split of the log prior BEFORE the x32 trace: the lo row is the
+    # f64 remainder and is the only place full precision enters (rows/rhs
+    # are exact f32 data; the uniform -log n is split in host floats)
+    import numpy as _np
+    if log_prior is None:
+        lp = -_np.log(_np.float64(n))
+        lp_hi = jnp.full((n,), float(_np.float32(lp)), jnp.float32)
+        lp_lo = jnp.full((n,), float(lp - _np.float64(_np.float32(lp))),
+                         jnp.float32)
+    else:
+        lp_hi = log_prior.astype(jnp.float32)
+        lp_lo = (log_prior - lp_hi.astype(log_prior.dtype)).astype(
+            jnp.float32)
+    if Hs.dtype == jnp.float32:
+        with jax.enable_x64(False):
+            return _kl_dual_cert_x32(Hs, u, A, r, lp_hi, lp_lo,
+                                     n_steps=n_steps,
+                                     polish_steps=polish_steps, z0=z0,
+                                     n_ls=n_ls, bt=bt, interpret=interpret)
+    return _kl_dual_cert_x32(Hs, u, A, r, lp_hi, lp_lo, n_steps=n_steps,
+                             polish_steps=polish_steps, z0=z0, n_ls=n_ls,
+                             bt=bt, interpret=interpret)
+
+
+def _kl_dual_cert_x32(Hs, u, A, r, lp_hi, lp_lo, *, n_steps, polish_steps,
+                      z0, n_ls, bt, interpret):
+    B, k, n = Hs.shape
+    m_eq = A.shape[1]
+    dtype = jnp.float32
+    Hs = Hs.astype(dtype)
+    u = u.astype(dtype)
+    A = A.astype(dtype)
+    r = r.astype(dtype)
+    lane = 128 if not interpret else 8
+    npad = _next_pow2(_round_up(n, lane))
+    bpad = _round_up(B, bt)
+
+    rows = jnp.concatenate([Hs, A], axis=1)
+    rhs_pad = jnp.concatenate([jnp.ones((bpad, k), dtype),
+                               jnp.zeros((bpad, m_eq), dtype)], axis=1)
+    rows_p = jnp.zeros((bpad, k + m_eq, npad), dtype).at[:B, :, :n].set(rows)
+    rhs_p = rhs_pad.at[:B, :k].set(u)
+    if m_eq > 0:
+        rhs_p = rhs_p.at[:B, k:].set(r)
+    lph = jnp.zeros((1, npad), dtype).at[0, :n].set(lp_hi)
+    lpl = jnp.zeros((1, npad), dtype).at[0, :n].set(lp_lo)
+
+    grid = (bpad // bt,)
+    dim = k + 1 + m_eq
+    kern = functools.partial(
+        _kl_dual_cert_kernel, n=npad, k=k, m_eq=m_eq, n_valid=n,
+        n_steps=n_steps, z0=z0, n_ls=n_ls,
+        eps=float(jnp.finfo(dtype).eps), polish_steps=polish_steps,
+        interpret=interpret)
+    xh, xl, zhl, stats = pl.pallas_call(
+        kern,
+        out_shape=(jax.ShapeDtypeStruct((bpad, npad), dtype),
+                   jax.ShapeDtypeStruct((bpad, npad), dtype),
+                   jax.ShapeDtypeStruct((bpad, 2 * dim), dtype),
+                   jax.ShapeDtypeStruct((bpad, 4), dtype)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, k + m_eq, npad), lambda i: (i, 0, 0)),
+            pl.BlockSpec((bt, k + m_eq), lambda i: (i, 0)),
+            pl.BlockSpec((1, npad), lambda i: (0, 0)),
+            pl.BlockSpec((1, npad), lambda i: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((bt, npad), lambda i: (i, 0)),
+                   pl.BlockSpec((bt, npad), lambda i: (i, 0)),
+                   pl.BlockSpec((bt, 2 * dim), lambda i: (i, 0)),
+                   pl.BlockSpec((bt, 4), lambda i: (i, 0))),
+        interpret=interpret,
+    )(rows_p, rhs_p, lph, lpl)
+    return (xh[:B, :n], xl[:B, :n], zhl[:B, :dim], zhl[:B, dim:],
+            stats[:B, 0], stats[:B, 1], stats[:B, 2], stats[:B, 3])
 
 
 @functools.partial(

@@ -108,3 +108,51 @@ class TestDsTranscendental:
         for k in (-100, -7, 0, 9, 88):
             v = D.ds_exp(_pair(np.array([k * np.log(2.0)])))
             assert _val(v)[0] == pytest.approx(2.0 ** k, rel=3e-13)
+
+
+class TestDsUnderJit:
+    """Round-4 regression: XLA's algebraic simplifier applies the
+    FP-unsound rewrite ``(b + c) - c -> b`` when one two_sum operand is a
+    materialized constant, collapsing the EFT error term — ds_exp lost
+    5 digits under jit while exact in eager (see ds.py COMPILER HAZARD).
+    The optimization_barrier guard must hold the accuracy under jit."""
+
+    def test_two_sum_with_constant_operand(self, rng):
+        b = jnp.asarray(rng.standard_normal(4096) * 0.3, jnp.float32)
+
+        def f(b):
+            a = jnp.full_like(b, 0.008333334)   # broadcast constant
+            return D.two_sum(a, b)
+
+        s, e = jax.jit(f)(b)
+        ref = (np.float64(np.float32(0.008333334))
+               + np.asarray(b, np.float64))
+        got = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+        assert np.array_equal(got, ref)
+
+    def test_fast_two_sum_with_constant_operand(self, rng):
+        b = jnp.asarray(rng.standard_normal(4096) * 0.3, jnp.float32)
+
+        def f(b):
+            a = jnp.full_like(b, 2.0)           # |a| >= |b| holds
+            return D.fast_two_sum(a, b)
+
+        s, e = jax.jit(f)(b)
+        ref = 2.0 + np.asarray(b, np.float64)
+        got = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+        assert np.array_equal(got, ref)
+
+    def test_exp_jit_matches_eager(self, rng):
+        e64 = rng.uniform(-30, 30, 8192)
+        pair = _pair(e64)
+        ref = np.exp(_val(pair))
+        jit_v = jax.jit(D.ds_exp)(pair)
+        assert _relerr(jit_v, ref) < 5e-13
+
+    def test_inside_mosaic_drops_guard_and_restores(self):
+        x = jnp.ones(8, jnp.float32)
+        with D.inside_mosaic():
+            jaxpr = jax.make_jaxpr(lambda a: D.two_sum(a, a * 0.5))(x)
+            assert "optimization_barrier" not in str(jaxpr)
+        jaxpr = jax.make_jaxpr(lambda a: D.two_sum(a, a * 0.5))(x)
+        assert "optimization_barrier" in str(jaxpr)

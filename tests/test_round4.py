@@ -146,3 +146,61 @@ class TestCertifyGapIsMeasured:
             xi = np.maximum(x[i], 1e-300)
             f = np.sum(xi * np.log(n * xi))
             assert abs((f - g) - float(s.duality_gap[i])) < 1e-12
+
+
+class TestFusedCertKernel:
+    """The round-4 in-kernel certificate (pallas_kl_dual.py::
+    kl_dual_fused_cert, double-single float32x2 epilogue): the gap it
+    reports must match an independent host-f64 recompute at the SAME z —
+    the certificate is measured, never scheduled.  Interpret mode runs the
+    kernel body as XLA ops, which also exercises the ds library's
+    optimization_barrier guards against the simplifier's unsound
+    ``(b + c) - c -> b`` rewrite (ds.py COMPILER HAZARD: without the
+    guard this test fails at ~1e-8, not ~1e-13)."""
+
+    def test_in_kernel_certificate_matches_host(self):
+        n, B = 32, 8
+        I_A = np.zeros(n); I_A[:2] = 1.0
+        I_B = np.zeros(n); I_B[n // 2:] = 1.0
+        H = np.stack([-I_A, I_B]).astype(np.float32)
+        rng = np.random.default_rng(3)
+        pA = rng.uniform(0.2, 0.5, B); pB = rng.uniform(0.55, 0.8, B)
+        u = np.stack([-pA, pB], axis=1).astype(np.float32)
+        prob = DistKL.create(n, H=jnp.asarray(H), u=jnp.zeros((2,)),
+                             dtype=jnp.float32)
+        s = prob.solve_certified_batch(jnp.asarray(u), steps=10,
+                                       polish_steps=2, fused_cert=True)
+        x = np.asarray(s.x, np.float64)
+        lam = np.asarray(s.lam, np.float64)
+        nu = np.asarray(s.nu, np.float64)
+        gap = np.asarray(s.duality_gap, np.float64)
+        lp = -np.log(np.float64(n))
+        Bmat = np.concatenate([H.astype(np.float64), np.ones((1, n))])
+        for i in range(B):
+            z = np.concatenate([lam[i], nu[i]])
+            w = np.concatenate([u[i].astype(np.float64), [1.0]])
+            g = -(w @ z + np.sum(np.exp(lp - Bmat.T @ z - 1.0)))
+            xi = np.maximum(x[i], 1e-300)
+            f = np.sum(xi * (np.log(xi) - lp))
+            assert abs((f - g) - gap[i]) < 1e-12
+            assert abs(gap[i]) < 1e-10
+        assert np.max(np.asarray(s.ineq_res)) < 1e-10
+        assert np.max(np.asarray(s.eq_gap)) < 1e-10
+        assert not bool(np.any(np.asarray(s.stalled)))
+
+    def test_fused_cert_agrees_with_xla_finish(self):
+        n, B = 32, 8
+        I_A = np.zeros(n); I_A[:2] = 1.0
+        I_B = np.zeros(n); I_B[n // 2:] = 1.0
+        H = np.stack([-I_A, I_B]).astype(np.float32)
+        u = np.column_stack([-np.linspace(0.25, 0.45, B),
+                             np.linspace(0.6, 0.75, B)]).astype(np.float32)
+        prob = DistKL.create(n, H=jnp.asarray(H), u=jnp.zeros((2,)),
+                             dtype=jnp.float32)
+        s1 = prob.solve_certified_batch(jnp.asarray(u), steps=10,
+                                        polish_steps=2, fused_cert=True)
+        s2 = prob.solve_certified_batch(jnp.asarray(u), steps=10,
+                                        polish_steps=2, fused_cert=False)
+        assert np.max(np.abs(np.asarray(s1.x) - np.asarray(s2.x))) < 1e-11
+        assert np.max(np.abs(np.asarray(s1.duality_gap))) < 1e-10
+        assert np.max(np.abs(np.asarray(s2.duality_gap))) < 1e-10
