@@ -3,10 +3,18 @@
 Re-design target: the reference's only native capability is its LAPACK
 dpotrf boundary (cvx/MatrixUtils.scala:362-376, :452-461).  On TPU, XLA
 expands ``lax.linalg.cholesky`` with a fixed 128-wide panel algorithm
-(CholeskyExpander): at n = 8192 that measured ~10% of f32 peak
-(BENCH_SCALING.json kkt_factorize_solve_n8192, round 3) because the
-dominant trailing-submatrix updates are issued as many narrow
-dynamically-sliced matmuls.
+(CholeskyExpander); the round-3 ladder put it at ~10% of f32 peak at
+n = 8192, motivating this coarser re-blocking.
+
+ROUND-4 VERDICT (BENCH_SCALING.json ``big_chol_*`` rows, honest
+scalar-leaf timing — the round-3 numbers included a 16-256 MB tunnel
+transfer): the motivation was a measurement artifact.  XLA's expander
+actually runs n = 8192 in 18.9 ms (19.8% f32 MFU) and WINS at every size
+(2048: 1.94 vs 2.13 ms; 4096: 5.06 vs 5.84 ms; 8192: 18.9 vs 29.6 ms) —
+its narrow panels pipeline better than this module's coarse ones, whose
+big syrk cannot start until the full 512-wide panel trsm finishes.  This
+module is a documented NEGATIVE RESULT kept for the record; production
+paths (ops/kkt.py, ops/cholesky.py) use the XLA built-in.
 
 This module re-blocks the factorization at a COARSE width ``bk`` (512 by
 default) with a static Python loop (n/bk unrolled HLO steps, all shapes

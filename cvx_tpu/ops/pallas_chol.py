@@ -24,12 +24,20 @@ XLA built-in (``lax.linalg.cholesky``).  MEASURED (TPU v5e, 4096 x 100 x 100
 f32): XLA 0.81 ms vs this kernel 146 ms — XLA's batched Cholesky is already
 memory-bound-optimal, while the Mosaic restriction to static slicing forces
 this kernel to extract each column by mask+reduce (O(n) redundant VPU work
-per column).  The default therefore stays "xla"; the kernel is kept as the
-in-house implementation to build on — the real Pallas win for this
-framework is fusing WHOLE solves in VMEM, not re-implementing a single op
-XLA already saturates.  That win is realized twice over: the fused primal
-barrier kernel (ops/pallas_kl.py) and the fused dual projected-Newton
-kernel (ops/pallas_kl_dual.py, the TPU bench default).
+per column).
+
+ROUND-4 VERDICT (the full target-regime sweep, BENCH_SCALING.json
+``batched_chol_*`` rows, honest scalar-leaf timing): XLA wins everywhere —
+1.8x at 4096 x 128, 2.5x at 1024 x 256, 5.4x at 256 x 512 — and holds
+~400x better backward error (9e-7 vs this kernel's 2-3e-4, the same
+mask+reduce recurrence accumulating across blocks).  This kernel is a
+documented NEGATIVE RESULT kept for the record; the default stays "xla".
+The real Pallas win for this framework is fusing WHOLE solves in VMEM, not
+re-implementing a single op XLA already saturates.  That win is realized
+three times over: the fused primal barrier kernel (ops/pallas_kl.py), the
+fused dual projected-Newton kernel (ops/pallas_kl_dual.py, the TPU bench
+default), and the in-kernel double-single certified epilogue
+(kl_dual_fused_cert).
 """
 
 from __future__ import annotations

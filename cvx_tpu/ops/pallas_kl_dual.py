@@ -18,13 +18,13 @@ instances in VMEM and iterates
 then recovers x = y / sum(y) and the measured in-kernel gap f(x) - g(z).
 
 MEASURED (TPU v5e, 10k instances, n=100, f32, best-of-3 chained timing
-with completion forced via the small gap leaf — see README "Measured
-headline" for the round-3 timing-methodology note; supersedes the 16.2 ms
-of BENCH_r02.json, which included the out-of-workload transfer — the next
-driver capture becomes the number of record): **6.1 ms** per batch
-solve (1.63M instances/s, 163x the north star) at certificate gap max
-~3e-6 — vs the XLA dual_fast route (launch-bound) and the fused primal
-barrier kernel (~10x slower; compute-bound on barrier stages).
+with completion forced via the small gap leaf, table of record
+docs/SCALING.md): **6.2 ms** per batch solve (1.61M instances/s, 161x the
+north star) at certificate gap max ~3.8e-6 — vs the XLA dual_fast route
+(launch-bound) and the fused primal barrier kernel (~10x slower;
+compute-bound on barrier stages).  The CERTIFIED variant
+(``kl_dual_fused_cert``: + double-single polish and in-kernel measured
+certificate) does 10k in 9.95 ms at gap ~5e-14.
 
 Shapes: B = [H; 1'; A] with k inequality rows, the sum-to-one equality and
 mE extra equality rows; dual dim = k + 1 + mE <= 5 (the closed-form 2x2/3x3
