@@ -307,9 +307,10 @@ def _run(n):
         # block and bench_scaling.py's kl_certified rows measure the
         # IDENTICAL configuration — one certified number of record
         # (round-3 verdict weak #2: never two official numbers again).
-        # The kernel itself can run steps=12 at the same measured gap
-        # (~6.9 ms/10k vs ~10 ms at n=100, v5e) — that is a sweep result
-        # (BENCH_CERT_STEPS=12), not the number of record.
+        # The schedule is insensitive around the defaults: a same-session
+        # v5e sweep measured steps 10/12/16 at the bit-identical 5.3e-14
+        # gap with only ~7% time spread, so the default keeps 16 as
+        # convergence margin (see docs/SCALING.md).
         cert_steps = int(os.environ.get("BENCH_CERT_STEPS", 16))
         cert_polish = int(os.environ.get("BENCH_CERT_POLISH", 2))
 

@@ -686,7 +686,8 @@ class DistKL:
         projected-Newton, warm double-single polish, and the measured
         gap/residual certificate — runs inside ONE Pallas kernel
         (ops/pallas_kl_dual.py::kl_dual_fused_cert, float32x2 epilogue):
-        measured v5e 6.9 ms per 10k x n=100 at gap ~6e-14, vs ~32 ms for
+        measured v5e ~10 ms per 10k x n=100 at gap ~5e-14 (table of
+        record: docs/SCALING.md), vs ~32 ms for
         the round-3 kernel + XLA-emulated-f64 finishing pass this replaces
         (that path remains as ``fused_cert=False`` and as the off-TPU /
         dim > 5 fallback).  Returns a batched Solution with MEASURED f64
