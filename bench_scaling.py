@@ -246,6 +246,64 @@ def kl_prior(records, dtype, on_tpu):
     print(json.dumps(rec), flush=True)
 
 
+def kl_wide_dim(records, dtype, on_tpu):
+    """Widened in-register envelope (late round 4): dual dim 6 and 8 on
+    the Pallas route, f32 + certified.  The random 5/7-row family has ALL
+    constraints slack at the optimum for most instances — the shape that
+    exposed (and now pins, tests/test_round4.py::TestDualDim8) the
+    boundary-jam purge in the f32 phase."""
+    from cvx_tpu.diagnostics import kl_gap_certificate_np
+    from cvx_tpu.models import DistKL
+    from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
+
+    n, batch = 100, 10000 if on_tpu else 64
+    rng = np.random.default_rng(0)
+    for k in (5, 7):
+        H = rng.uniform(0.0, 1.0, (k, n)); H[H < 0.6] = 0.0
+        x0 = rng.uniform(0.5, 1.5, n); x0 /= x0.sum()
+        margins = rng.uniform(0.05, 0.15, (batch, k))
+        u = jnp.asarray((H @ x0)[None, :] + margins, dtype)
+        prob = DistKL.create(n, H=jnp.asarray(H, dtype),
+                             u=jnp.zeros((k,), dtype), dtype=dtype)
+        Hb = jnp.broadcast_to(jnp.asarray(H, dtype)[None], (batch, k, n))
+        reps = 5 if on_tpu else 2
+
+        def solve_f32(u):
+            x_, gap_, _ = kl_dual_fused(Hb, u, n_steps=16,
+                                        bt=256 if on_tpu else 8,
+                                        interpret=not on_tpu)
+            return x_, gap_
+
+        with jax.enable_x64(False):
+            sec, (_, (xs, _)) = timed(chained(solve_f32, reps), u, reps=reps)
+        cert = kl_gap_certificate_np(np.asarray(xs), np.asarray(H),
+                                     np.asarray(u, np.float64))
+        rec = {"metric": f"kl_dual_fused_dim{k + 1}_n{n}", "batch": batch,
+               "value": round(batch / sec, 1), "unit": "instances/s",
+               "ms_per_batch": round(sec * 1e3, 2),
+               "gap_cert_max": float(np.max(cert))}
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+        if not on_tpu:
+            continue   # the ds epilogue's interpret compile takes minutes
+        def solve_cert(u):
+            s = prob.solve_certified_batch(u)
+            return s.x, s.duality_gap, s.ineq_res
+
+        sec, (_, (xs, gaps, ineq)) = timed(chained(solve_cert, reps), u,
+                                           reps=reps)
+        ga = np.abs(np.asarray(gaps))
+        rec = {"metric": f"kl_certified_1e8_dim{k + 1}_n{n}", "batch": batch,
+               "value": round(batch / sec, 1), "unit": "instances/s",
+               "ms_per_batch": round(sec * 1e3, 2),
+               "gap_measured_max": float(np.max(ga)),
+               "ineq_res_max": float(np.max(np.asarray(ineq))),
+               "contract_1e8": bool(np.max(ga) <= 1e-8)}
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+
 def kl_certified(records, dtype, on_tpu, n=100, batch=None):
     """The CERTIFIED path (f32 fused kernel + on-chip f64 finishing pass) —
     max measured gap must beat the reference's written 1e-8 contract at
@@ -590,6 +648,8 @@ def main():
         kl_k3_vs_k2(records, dtype, on_tpu)
     if os.environ.get("SCALE_PRIOR", "1") == "1":
         kl_prior(records, dtype, on_tpu)
+    if os.environ.get("SCALE_WIDE", "1") == "1":
+        kl_wide_dim(records, dtype, on_tpu)
     if os.environ.get("SCALE_CERT", "1") == "1":
         cert_batches = {100: 10000, 1000: 1000, 10000: 100}
         for cn in (int(s) for s in os.environ.get(

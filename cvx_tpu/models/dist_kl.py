@@ -191,7 +191,7 @@ def _kl_warm_polish(B, w, R, z, k, steps: int):
 
     No value-based line search: a full Newton step capped at the first
     lam boundary (fraction-to-boundary), bound-active coordinates frozen
-    out of the tiny (dim <= 5) system — the same active-set algebra as
+    out of the tiny (dim <= 8) system — the same active-set algebra as
     the Pallas kernel (ops/pallas_kl_dual.py), in XLA f64.  From a
     ~1e-6-accurate start the iteration is inside the quadratic-convergence
     basin, so each step costs ONE (n,)-exp + a handful of O(n dim)
@@ -593,12 +593,12 @@ class DistKL:
                          steps: int = 16) -> Solution:
         """Whole dual solve in one Pallas kernel (method="dual_fused") —
         see ops/pallas_kl_dual.py.  The kernel covers dual dimension
-        k + 1 + mE <= 5 (k inequality rows, sum-to-one, mE extra
+        k + 1 + mE <= 8 (k inequality rows, sum-to-one, mE extra
         equalities); larger shapes fall back to the XLA dual_fast route."""
         pars = pars or SolverParams()
         k = self.H.shape[0]
         m_eq = self.A.shape[0]
-        if k + m_eq < 1 or k + 1 + m_eq > 5:
+        if k + m_eq < 1 or k + 1 + m_eq > 8:
             return self.solve_dual_newton(pars)
         from ..ops.pallas_kl_dual import kl_dual_fused
 
@@ -690,11 +690,11 @@ class DistKL:
         record: docs/SCALING.md), vs ~32 ms for
         the round-3 kernel + XLA-emulated-f64 finishing pass this replaces
         (that path remains as ``fused_cert=False`` and as the off-TPU /
-        dim > 5 fallback).  Returns a batched Solution with MEASURED f64
+        dim > 8 fallback).  Returns a batched Solution with MEASURED f64
         certificate leaves; requires ``jax_enable_x64``.
 
         ``fused_cert=None`` (auto) uses the in-kernel certificate exactly
-        where it is the measured winner: on TPU with dual dim <= 5.
+        where it is the measured winner: on TPU with dual dim <= 8.
         """
         pars = pars or SolverParams()
         from ..ops.pallas_kl_dual import kl_dual_fused, kl_dual_fused_cert
@@ -712,13 +712,13 @@ class DistKL:
                   if r is None else jnp.asarray(r, dtype))
         else:
             Ab = rb = None
-        kernel_fits = k + m_eq >= 1 and k + 1 + m_eq <= 5
+        kernel_fits = k + m_eq >= 1 and k + 1 + m_eq <= 8
         if fused_cert is None:
             fused_cert = on_tpu and kernel_fits
         if fused_cert:
             if not kernel_fits:
                 raise ValueError(
-                    f"fused_cert needs 1 <= k + m_eq and k + 1 + m_eq <= 5,"
+                    f"fused_cert needs 1 <= k + m_eq and k + 1 + m_eq <= 8,"
                     f" got k={k}, m_eq={m_eq}")
             if jnp.zeros((), jnp.float64).dtype != jnp.float64:
                 raise RuntimeError(
@@ -729,6 +729,8 @@ class DistKL:
                   else jnp.log(self.prior.astype(jnp.float64)))
             bt = (256 if self.n <= 128 else
                   (64 if self.n <= 1024 else 8)) if on_tpu else 8
+            # (beyond dual dim 5 the kernel wrapper halves bt itself — the
+            # ds epilogue's VMEM footprint grows with dim)
             xh, xl, zh, zl, gh, gl, ineq32, eq32 = kl_dual_fused_cert(
                 Hb, u, Ab, rb, log_prior=lp, n_steps=steps,
                 polish_steps=polish_steps, z0=float(pars.dual_start),

@@ -27,8 +27,9 @@ compute-bound on barrier stages).  The CERTIFIED variant
 certificate) does 10k in 9.95 ms at gap ~5e-14.
 
 Shapes: B = [H; 1'; A] with k inequality rows, the sum-to-one equality and
-mE extra equality rows; dual dim = k + 1 + mE <= 5 (the closed-form 2x2/3x3
-adjugate handles dim <= 3; an unrolled scalar Cholesky handles 4-5).
+mE extra equality rows; dual dim = k + 1 + mE <= 8 (the closed-form 2x2/3x3
+adjugate handles dim <= 3; an unrolled scalar Cholesky handles 4-8 — the
+same straight-line-code envelope as duality._small_solve).
 Mosaic notes (same as ops/pallas_kl.py): all quantities are (bt, n) rows or
 (bt, 1) scalars — tiny-dimension tensors ((bt, dim, dim) Newton systems)
 would be scalarized ~1000x, so the small-system algebra is unrolled into
@@ -58,7 +59,8 @@ def _solve_small(m, gf, dim, dtype):
     ``m`` maps (i, j), i <= j, to the (bt, 1) entries of the symmetric
     positive-definite M (frozen coordinates carry a unit diagonal).
     dim <= 3 uses the measured-fast closed-form adjugate; dim 4-5 an
-    unrolled Cholesky (straight-line code, ~dim^3/3 scalar ops).
+    unrolled Cholesky (straight-line code, ~dim^3/3 scalar ops; used
+    up to dim 8, the same envelope as duality._small_solve).
     """
     if dim == 1:
         return [-gf[0] / m[(0, 0)]]
@@ -84,7 +86,7 @@ def _solve_small(m, gf, dim, dtype):
               + (m[(0, 0)] * m[(1, 1)]
                  - m[(0, 1)] * m[(0, 1)]) * gf[2]) / det,
         ]
-    # dim 4-5: unrolled Cholesky M = L L', forward+back substitution.
+    # dim 4-8: unrolled Cholesky M = L L', forward+back substitution.
     # max(.., tiny) keeps batch-padded instances (all-zero rows) finite —
     # their garbage steps reject on value and never leave the pad lanes.
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
@@ -378,9 +380,28 @@ def _newton_z(ctx, *, n_steps: int, z0: float, n_ls: int, eps: float):
         # freezes and the coupled direction jams.  8 eps |z| catches the
         # <= ~4 eps |z| landing residual without zeroing a deliberately
         # computed small positive lam (see duality._polish_dual).
+        # BOUNDARY-JAM PURGE (found by the dim-8 widening stress family):
+        # when several SLACK lams must creep to 0, the fraction-to-boundary
+        # cap shrinks t_bd until the available value improvement
+        # (~t_bd * |g.dz|) falls below f32 value resolution — every
+        # candidate "ties" f0, the gradient fallback can't shrink the norm
+        # by 10% either, and the solve stalls with |g_free| = O(1)
+        # (measured: 4/10000 instances of a random 5-row family, gap
+        # stuck at 0.37).  A lam below ~32 eps scale whose gradient says
+        # "decrease" (g_j > 0) is KKT-identified inactive: zero it
+        # directly.  A wrongly purged weakly-active lam costs only
+        # ~M_jj lam^2 = O(1e-12) in value and is self-healing (g_j < 0 at
+        # 0 unfreezes it next step / in the ds polish).
+        zinf = jnp.zeros((bt, 1), dtype)
+        for j in range(dim):
+            zinf = jnp.maximum(zinf, jnp.abs(z[j]))
+        purge_th = 32.0 * eps * (1.0 + zinf)
         for j in range(k):
-            z_new[j] = jnp.where(z_new[j] <= 8.0 * eps * jnp.abs(z[j]),
-                                 0.0, z_new[j])
+            z_new[j] = jnp.where(
+                jnp.logical_or(
+                    z_new[j] <= 8.0 * eps * jnp.abs(z[j]),
+                    jnp.logical_and(g[j] > 0.0, z_new[j] <= purge_th)),
+                0.0, z_new[j])
         return tuple(z_new)
 
     z0s = tuple(jnp.full((bt, 1), z0, dtype) for _ in range(dim))
@@ -655,10 +676,16 @@ def kl_dual_fused_cert(
         r = jnp.zeros((B, 0), Hs.dtype)
     m_eq = A.shape[1]
     dim = k + 1 + m_eq
-    if not (k + m_eq >= 1 and dim <= 5):
+    if not (k + m_eq >= 1 and dim <= 8):
         raise ValueError(
             f"kl_dual_fused_cert supports 1 <= k + m_eq and "
-            f"k + 1 + m_eq <= 5, got k={k}, m_eq={m_eq}")
+            f"k + 1 + m_eq <= 8, got k={k}, m_eq={m_eq}")
+    # VMEM guard: the ds epilogue's footprint grows with dim (dim x (bt, n)
+    # hi/lo row products) — bt=256 at dim 6 measured 20.4 MB against the
+    # 16 MB scoped-VMEM limit on v5e.  Halve the tile beyond the dim-5
+    # envelope (bt is a static arg, so this is trace-time Python).
+    if dim > 5:
+        bt = max(8, bt // 2)
     # hi/lo split of the log prior BEFORE the x32 trace: the lo row is the
     # f64 remainder and is the only place full precision enters (rows/rhs
     # are exact f32 data; the uniform -log n is split in host floats)
@@ -764,7 +791,7 @@ def kl_dual_fused(
     the dual iterate z (B, k + 1 + m_eq) itself — the f64 finishing pass
     warm-starts from it.
     Constraint set: Hs x <= u (k >= 0 rows), sum-to-one, and A x = r
-    (m_eq >= 0 extra equality rows); dual dim = k + 1 + m_eq <= 5.  Use
+    (m_eq >= 0 extra equality rows); dual dim = k + 1 + m_eq <= 8.  Use
     DistKL.solve(method='dual_fast') for larger shapes.
     ``log_prior`` generalizes the objective to d_KL(x, p) for a SHARED
     (n,) prior p (beyond the reference, whose Dist_KL fixes p uniform —
@@ -782,10 +809,14 @@ def kl_dual_fused(
         log_prior = jnp.full((n,), -jnp.log(float(n)), Hs.dtype)
     m_eq = A.shape[1]
     dim = k + 1 + m_eq
-    if not (k + m_eq >= 1 and dim <= 5):
+    if not (k + m_eq >= 1 and dim <= 8):
         raise ValueError(
-            f"kl_dual_fused supports 1 <= k + m_eq and k + 1 + m_eq <= 5, "
+            f"kl_dual_fused supports 1 <= k + m_eq and k + 1 + m_eq <= 8, "
             f"got k={k}, m_eq={m_eq}")
+    # VMEM guard: bt=256 at dim 8 measured 18.6 MB against the 16 MB
+    # scoped-VMEM limit on v5e — halve the tile beyond the dim-5 envelope
+    if dim > 5:
+        bt = max(8, bt // 2)
     # trace the f32 (TPU) path in x32: under jax_enable_x64 (the certified
     # finishing pass enables it) weak Python ints become i64 scalars, which
     # Mosaic fails to legalize ("failed to legalize operation

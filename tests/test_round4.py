@@ -204,3 +204,78 @@ class TestFusedCertKernel:
         assert np.max(np.abs(np.asarray(s1.x) - np.asarray(s2.x))) < 1e-11
         assert np.max(np.abs(np.asarray(s1.duality_gap))) < 1e-10
         assert np.max(np.abs(np.asarray(s2.duality_gap))) < 1e-10
+
+
+class TestDualDim8:
+    """Round-4 widening: the fused dual kernel's in-register envelope grew
+    from dual dim <= 5 to <= 8 (the same straight-line-Cholesky envelope
+    as duality._small_solve) — and its stress family exposed a BOUNDARY-JAM
+    stall in the f32 phase (fixed by the KKT-consistent purge in
+    _newton_z; see the kernel comment).  Pins here:
+
+    1. dims 6/7/8 agree with the XLA dual_fast route to solver precision;
+    2. the exact jammed instance (4/10000 of a random 5-row family stuck
+       at gap 0.37 pre-fix) now converges;
+    3. the certified fallback path holds the 1e-8 contract at dim 6-8.
+    """
+
+    def _random_family(self, k, mE, n, seed=0):
+        rng = np.random.default_rng(seed)
+        H = rng.uniform(0.0, 1.0, (k, n)); H[H < 0.6] = 0.0
+        x0 = rng.uniform(0.5, 1.5, n); x0 /= x0.sum()
+        u = H @ x0 + rng.uniform(0.05, 0.15, k)
+        A = rng.uniform(0.0, 1.0, (mE, n)) if mE else None
+        r = (A @ x0) if mE else None
+        return H, u, A, r
+
+    @pytest.mark.parametrize("k,mE", [(5, 0), (4, 2), (7, 0)])
+    def test_fused_matches_dual_fast(self, k, mE):
+        n = 24
+        H, u, A, r = self._random_family(k, mE, n)
+        prob = DistKL.create(
+            n, H=jnp.asarray(H, jnp.float64), u=jnp.asarray(u, jnp.float64),
+            A=None if A is None else jnp.asarray(A, jnp.float64),
+            r=None if r is None else jnp.asarray(r, jnp.float64))
+        s_fast = prob.solve(method="dual_fast")
+        s_fused = prob.solve(method="dual_fused")
+        assert float(jnp.max(jnp.abs(s_fast.x - s_fused.x))) < 1e-6
+        assert float(jnp.abs(s_fused.duality_gap)) < 1e-8
+        assert not bool(s_fused.stalled)
+
+    def test_boundary_jam_instance_converges(self):
+        # the pre-fix worst offender: instance 5579 of the (k=5, n=100,
+        # seed 0, batch 10000) family — ALL five constraints slack at the
+        # optimum (z* = (0,...,0, -1)); the creeping fraction-to-boundary
+        # steps starved the f32 line search below value resolution and the
+        # solve froze at gap 0.369
+        n, batch, k = 100, 10000, 5
+        rng = np.random.default_rng(0)
+        H = rng.uniform(0.0, 1.0, (k, n)); H[H < 0.6] = 0.0
+        x0 = rng.uniform(0.5, 1.5, n); x0 /= x0.sum()
+        margins = rng.uniform(0.05, 0.15, (batch, k))
+        u = (H @ x0)[None, :] + margins
+        from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
+        Hi = jnp.asarray(H, jnp.float32)[None]
+        ui = jnp.asarray(u[5579], jnp.float32)[None]
+        x, gap, z = kl_dual_fused(Hi, ui, n_steps=16, bt=8, interpret=True)
+        assert abs(float(gap[0])) < 1e-5          # f32 in-kernel floor
+        assert float(jnp.max(jnp.abs(z[0][:k]))) == 0.0   # all lam purged
+        assert abs(float(z[0][k]) + 1.0) < 1e-4   # nu -> -1 (uniform opt)
+
+    @pytest.mark.parametrize("k,mE", [(5, 0), (7, 0)])
+    def test_certified_contract_dim6_8(self, k, mE):
+        # the XLA-finish fallback (what off-TPU/auto uses) at the widened
+        # dims; the in-kernel ds epilogue at dim > 5 is validated on
+        # hardware (docs/SCALING.md) — its interpret-mode XLA compile
+        # takes minutes, too slow for the suite
+        n, B = 24, 3
+        H, u, A, r = self._random_family(k, mE, n, seed=1)
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float32),
+                             u=jnp.zeros((k,), jnp.float32),
+                             dtype=jnp.float32)
+        U = jnp.asarray(np.stack([u * s for s in (1.0, 1.05, 1.1)]),
+                        jnp.float32)
+        s = prob.solve_certified_batch(U)
+        assert float(jnp.max(jnp.abs(s.duality_gap))) <= 1e-8
+        assert float(jnp.max(s.ineq_res)) <= 1e-10
+        assert not bool(jnp.any(s.stalled))
