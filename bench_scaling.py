@@ -252,6 +252,7 @@ def kl_wide_dim(records, dtype, on_tpu):
     constraints slack at the optimum for most instances — the shape that
     exposed (and now pins, tests/test_round4.py::TestDualDim8) the
     boundary-jam purge in the f32 phase."""
+    jax.config.update("jax_enable_x64", True)   # certified leaves are f64
     from cvx_tpu.diagnostics import kl_gap_certificate_np
     from cvx_tpu.models import DistKL
     from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
