@@ -44,6 +44,7 @@ from ..problem.equality import EqualityConstraint, sum_to_one
 from ..solvers.barrier import barrier_solve
 from ..solvers.phase1 import feasibility_analysis, find_feasible_point
 from ..solvers.primal_dual import primal_dual_solve
+from ..ops.pallas_kl_dual import _FUSED_MAX_DIM
 from ..solvers.types import Solution, SolverParams
 from ..tree import mxu_exact, pytree_dataclass, static_field
 
@@ -191,7 +192,7 @@ def _kl_warm_polish(B, w, R, z, k, steps: int):
 
     No value-based line search: a full Newton step capped at the first
     lam boundary (fraction-to-boundary), bound-active coordinates frozen
-    out of the tiny (dim <= 8) system — the same active-set algebra as
+    out of the tiny (dim <= 16) system — the same active-set algebra as
     the Pallas kernel (ops/pallas_kl_dual.py), in XLA f64.  From a
     ~1e-6-accurate start the iteration is inside the quadratic-convergence
     basin, so each step costs ONE (n,)-exp + a handful of O(n dim)
@@ -593,12 +594,12 @@ class DistKL:
                          steps: int = 16) -> Solution:
         """Whole dual solve in one Pallas kernel (method="dual_fused") —
         see ops/pallas_kl_dual.py.  The kernel covers dual dimension
-        k + 1 + mE <= 8 (k inequality rows, sum-to-one, mE extra
+        k + 1 + mE <= 16 (k inequality rows, sum-to-one, mE extra
         equalities); larger shapes fall back to the XLA dual_fast route."""
         pars = pars or SolverParams()
         k = self.H.shape[0]
         m_eq = self.A.shape[0]
-        if k + m_eq < 1 or k + 1 + m_eq > 8:
+        if k + m_eq < 1 or k + 1 + m_eq > _FUSED_MAX_DIM:
             return self.solve_dual_newton(pars)
         from ..ops.pallas_kl_dual import kl_dual_fused
 
@@ -690,11 +691,11 @@ class DistKL:
         record: docs/SCALING.md), vs ~32 ms for
         the round-3 kernel + XLA-emulated-f64 finishing pass this replaces
         (that path remains as ``fused_cert=False`` and as the off-TPU /
-        dim > 8 fallback).  Returns a batched Solution with MEASURED f64
+        dim > 16 fallback).  Returns a batched Solution with MEASURED f64
         certificate leaves; requires ``jax_enable_x64``.
 
         ``fused_cert=None`` (auto) uses the in-kernel certificate exactly
-        where it is the measured winner: on TPU with dual dim <= 8.
+        where it is the measured winner: on TPU with dual dim <= 16.
         """
         pars = pars or SolverParams()
         from ..ops.pallas_kl_dual import kl_dual_fused, kl_dual_fused_cert
@@ -712,14 +713,22 @@ class DistKL:
                   if r is None else jnp.asarray(r, dtype))
         else:
             Ab = rb = None
-        kernel_fits = k + m_eq >= 1 and k + 1 + m_eq <= 8
+        kernel_fits = k + m_eq >= 1 and k + 1 + m_eq <= _FUSED_MAX_DIM
         if fused_cert is None:
             fused_cert = on_tpu and kernel_fits
         if fused_cert:
             if not kernel_fits:
                 raise ValueError(
-                    f"fused_cert needs 1 <= k + m_eq and k + 1 + m_eq <= 8,"
-                    f" got k={k}, m_eq={m_eq}")
+                    f"fused_cert needs 1 <= k + m_eq and k + 1 + m_eq <= "
+                    f"{_FUSED_MAX_DIM}, got k={k}, m_eq={m_eq}")
+            if dtype != jnp.float32:
+                # the kernel would silently cast H/u/A/r to f32 and the
+                # "measured" certificate would certify a ROUNDED problem
+                # (ADVICE round 4); the auto path never gets here
+                raise ValueError(
+                    "fused_cert=True requires f32 problem data (the kernel "
+                    f"casts to f32; got {dtype}) — use fused_cert=False "
+                    "for the XLA f64 finishing pass on f64 models")
             if jnp.zeros((), jnp.float64).dtype != jnp.float64:
                 raise RuntimeError(
                     "solve_certified_batch needs jax_enable_x64 (the hi/lo "

@@ -104,8 +104,12 @@ _SPLIT = 4097.0   # 2^ceil(24/2) + 1 for f32's 24-bit mantissa
 
 
 def _split(a):
+    # hi = c - (c - a) is the same FP-unsound-rewrite shape as two_sum's
+    # (b + c) - c (ADVICE round 4): a future simplifier pass folding it to
+    # ``a`` would zero the split's low part and silently degrade every
+    # two_prod.  Same guard discipline as two_sum/fast_two_sum.
     c = _SPLIT * a
-    hi = c - (c - a)
+    hi = c - _guard(c - a)
     return hi, a - hi
 
 

@@ -27,9 +27,13 @@ compute-bound on barrier stages).  The CERTIFIED variant
 certificate) does 10k in 9.95 ms at gap ~5e-14.
 
 Shapes: B = [H; 1'; A] with k inequality rows, the sum-to-one equality and
-mE extra equality rows; dual dim = k + 1 + mE <= 8 (the closed-form 2x2/3x3
-adjugate handles dim <= 3; an unrolled scalar Cholesky handles 4-8 — the
-same straight-line-code envelope as duality._small_solve).
+mE extra equality rows; dual dim = k + 1 + mE <= 16 (the closed-form
+2x2/3x3 adjugate handles dim <= 3; an unrolled scalar Cholesky handles
+4-16 — straight-line code in scalar registers; beyond 8 the batch tile is
+quartered to hold the dim x (bt, n) row-product working set in VMEM).
+Round 5 widened the envelope from 8 to 16 — the reference's dual is
+dimension-generic (Dist_KL.scala:59-65,114-165) and dim 9+ previously fell
+off onto the launch-bound XLA route unmeasured.
 Mosaic notes (same as ops/pallas_kl.py): all quantities are (bt, n) rows or
 (bt, 1) scalars — tiny-dimension tensors ((bt, dim, dim) Newton systems)
 would be scalarized ~1000x, so the small-system algebra is unrolled into
@@ -52,15 +56,34 @@ from jax.experimental import pallas as pl
 
 from ._pad import round_up as _round_up
 
+# widest dual dimension k + 1 + mE the fused kernels unroll in scalar
+# registers; beyond this models/dist_kl.py falls back to the XLA
+# dual_fast route
+_FUSED_MAX_DIM = 16
+
+
+def _tile_for_dim(bt: int, dim: int) -> int:
+    """Batch-tile schedule by dual dimension (VMEM guard): the kernels'
+    working set grows ~linearly with dim (the yh row-product cache and the
+    ds epilogue's hi/lo products are dim x (bt, n) tiles) — bt=256 at
+    dim 6 measured 18.6-20.4 MB against the 16 MB scoped-VMEM limit on
+    v5e.  Halve beyond dim 5, halve again beyond dim 8."""
+    if dim > 5:
+        bt = max(8, bt // 2)
+    if dim > 8:
+        bt = max(8, bt // 2)
+    return bt
+
 
 def _solve_small(m, gf, dim, dtype):
     """dz = -M^-1 gf for the scalar-register Newton system.
 
     ``m`` maps (i, j), i <= j, to the (bt, 1) entries of the symmetric
     positive-definite M (frozen coordinates carry a unit diagonal).
-    dim <= 3 uses the measured-fast closed-form adjugate; dim 4-5 an
-    unrolled Cholesky (straight-line code, ~dim^3/3 scalar ops; used
-    up to dim 8, the same envelope as duality._small_solve).
+    dim <= 3 uses the measured-fast closed-form adjugate; dim 4-16 an
+    unrolled Cholesky (straight-line code, ~dim^3/3 scalar ops on (bt, 1)
+    registers — tiny-dim tensor ops would scalarize under Mosaic, see the
+    module docstring).
     """
     if dim == 1:
         return [-gf[0] / m[(0, 0)]]
@@ -70,6 +93,8 @@ def _solve_small(m, gf, dim, dtype):
             -(m[(1, 1)] * gf[0] - m[(0, 1)] * gf[1]) / det,
             -(m[(0, 0)] * gf[1] - m[(0, 1)] * gf[0]) / det,
         ]
+    if dim > _FUSED_MAX_DIM:
+        raise ValueError(f"_solve_small: dim {dim} > {_FUSED_MAX_DIM}")
     if dim == 3:
         c00 = m[(1, 1)] * m[(2, 2)] - m[(1, 2)] * m[(1, 2)]
         c01 = m[(1, 2)] * m[(0, 2)] - m[(0, 1)] * m[(2, 2)]
@@ -86,7 +111,7 @@ def _solve_small(m, gf, dim, dtype):
               + (m[(0, 0)] * m[(1, 1)]
                  - m[(0, 1)] * m[(0, 1)]) * gf[2]) / det,
         ]
-    # dim 4-8: unrolled Cholesky M = L L', forward+back substitution.
+    # dim 4-16: unrolled Cholesky M = L L', forward+back substitution.
     # max(.., tiny) keeps batch-padded instances (all-zero rows) finite —
     # their garbage steps reject on value and never leave the pad lanes.
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
@@ -375,6 +400,27 @@ def _newton_z(ctx, *, n_steps: int, z0: float, n_ls: int, eps: float):
         take = jnp.logical_or(f_ok, g_ok)
         z_new = project([jnp.where(take, z[j] + t_take * dz[j], z[j])
                          for j in range(dim)])
+        if dim > 8:
+            # PROJECTED full-step candidate (wide dims only — statically
+            # gated so the dim <= 8 program is bit-unchanged): the
+            # fraction-to-boundary cap above retires at most ONE slack lam
+            # per step, so a cold start with many slack constraints spends
+            # ~k steps just freezing lams (measured: a (k=13, mE=2) family
+            # needed 32 steps where dim <= 8 families need ~10).  The
+            # classic projected-Newton move max(z + t dz, 0) crosses ALL
+            # descending boundaries at once; it costs one extra exp pass
+            # (the squared-chain trick only works along the unprojected
+            # ray) and is accepted on strict value improvement over both
+            # f0 and the ray winner — monotonicity is preserved.
+            t_pr = jnp.minimum(jnp.asarray(1.0, dtype), t_trust)
+            z_pr = project([z[j] + t_pr * dz[j] for j in range(dim)])
+            y_pr = y_of(z_pr)
+            f_pr = val_of(z_pr, y_pr)
+            pr_ok = jnp.logical_and(
+                jnp.logical_and(jnp.isfinite(f_pr), f_pr < best_f),
+                finite)
+            z_new = [jnp.where(pr_ok, z_pr[j], z_new[j])
+                     for j in range(dim)]
         # SNAP to the bound: the step-to-boundary candidate leaves an
         # O(eps*z) positive residual in the landing lam, which then never
         # freezes and the coupled direction jams.  8 eps |z| catches the
@@ -644,7 +690,7 @@ def kl_dual_fused_cert(
     r: jax.Array | None = None,   # (B, m_eq)
     log_prior: jax.Array | None = None,   # (n,) f64 log p, None = uniform
     *,
-    n_steps: int = 12,
+    n_steps: int = 16,
     polish_steps: int = 2,
     z0: float = 1e-3,
     n_ls: int = 5,
@@ -653,6 +699,10 @@ def kl_dual_fused_cert(
 ):
     """Certified whole-solve: f32 dual Newton + fused double-single polish
     and certificate, all inside ONE Pallas kernel.
+
+    Defaults (n_steps=16, polish_steps=2) match the model layer's ONE
+    configuration of record (``DistKL.solve_certified_batch``) — direct
+    kernel callers get the same schedule every doc/table describes.
 
     Returns ``(x_hi, x_lo, z_hi, z_lo, gap_hi, gap_lo, ineq_res, eq_res)``
     — combine hi + lo in f64 OUTSIDE the kernel (``hi.astype(f64) +
@@ -676,16 +726,12 @@ def kl_dual_fused_cert(
         r = jnp.zeros((B, 0), Hs.dtype)
     m_eq = A.shape[1]
     dim = k + 1 + m_eq
-    if not (k + m_eq >= 1 and dim <= 8):
+    if not (k + m_eq >= 1 and dim <= _FUSED_MAX_DIM):
         raise ValueError(
             f"kl_dual_fused_cert supports 1 <= k + m_eq and "
-            f"k + 1 + m_eq <= 8, got k={k}, m_eq={m_eq}")
-    # VMEM guard: the ds epilogue's footprint grows with dim (dim x (bt, n)
-    # hi/lo row products) — bt=256 at dim 6 measured 20.4 MB against the
-    # 16 MB scoped-VMEM limit on v5e.  Halve the tile beyond the dim-5
-    # envelope (bt is a static arg, so this is trace-time Python).
-    if dim > 5:
-        bt = max(8, bt // 2)
+            f"k + 1 + m_eq <= {_FUSED_MAX_DIM}, got k={k}, m_eq={m_eq}")
+    # VMEM guard (bt is a static arg, so this is trace-time Python)
+    bt = _tile_for_dim(bt, dim)
     # hi/lo split of the log prior BEFORE the x32 trace: the lo row is the
     # f64 remainder and is the only place full precision enters (rows/rhs
     # are exact f32 data; the uniform -log n is split in host floats)
@@ -791,7 +837,7 @@ def kl_dual_fused(
     the dual iterate z (B, k + 1 + m_eq) itself — the f64 finishing pass
     warm-starts from it.
     Constraint set: Hs x <= u (k >= 0 rows), sum-to-one, and A x = r
-    (m_eq >= 0 extra equality rows); dual dim = k + 1 + m_eq <= 8.  Use
+    (m_eq >= 0 extra equality rows); dual dim = k + 1 + m_eq <= 16.  Use
     DistKL.solve(method='dual_fast') for larger shapes.
     ``log_prior`` generalizes the objective to d_KL(x, p) for a SHARED
     (n,) prior p (beyond the reference, whose Dist_KL fixes p uniform —
@@ -809,14 +855,12 @@ def kl_dual_fused(
         log_prior = jnp.full((n,), -jnp.log(float(n)), Hs.dtype)
     m_eq = A.shape[1]
     dim = k + 1 + m_eq
-    if not (k + m_eq >= 1 and dim <= 8):
+    if not (k + m_eq >= 1 and dim <= _FUSED_MAX_DIM):
         raise ValueError(
-            f"kl_dual_fused supports 1 <= k + m_eq and k + 1 + m_eq <= 8, "
-            f"got k={k}, m_eq={m_eq}")
-    # VMEM guard: bt=256 at dim 8 measured 18.6 MB against the 16 MB
-    # scoped-VMEM limit on v5e — halve the tile beyond the dim-5 envelope
-    if dim > 5:
-        bt = max(8, bt // 2)
+            f"kl_dual_fused supports 1 <= k + m_eq and k + 1 + m_eq <= "
+            f"{_FUSED_MAX_DIM}, got k={k}, m_eq={m_eq}")
+    # VMEM guard (see _tile_for_dim)
+    bt = _tile_for_dim(bt, dim)
     # trace the f32 (TPU) path in x32: under jax_enable_x64 (the certified
     # finishing pass enables it) weak Python ints become i64 scalars, which
     # Mosaic fails to legalize ("failed to legalize operation

@@ -1,0 +1,198 @@
+"""Round-5 pins.
+
+1. The fused dual kernel's widened envelope (dual dim 9-16; round-5
+   extension — the reference's dual is dimension-generic,
+   Dist_KL.scala:59-65,114-165, and dim 9+ previously fell off onto the
+   launch-bound XLA route): dims 12/16 must agree with the XLA dual_fast
+   route, converge within the model-default 16 steps (the projected
+   full-step line-search candidate: without it a cold start spends ~k
+   steps retiring slack lams one fraction-to-boundary cap at a time), and
+   hold the certified 1e-8 contract through ``solve_certified_batch``.
+2. The multi-boundary cold start that motivated the projected candidate,
+   pinned at the exact (k=13, mE=2) family drawn below: 16 steps reached
+   only gap ~9e-6 pre-fix, ~1e-10 post-fix.
+3. fused_cert=True on non-f32 data raises (ADVICE round 4: the kernel
+   would cast and certify a ROUNDED problem).
+4. ds._split carries the simplifier guard (ADVICE round 4): splitting a
+   materialized constant under jit must stay error-free.
+5. Batched phase-I infeasibility certificates: a mixed
+   feasible/infeasible fleet flags EXACTLY the infeasible instances, both
+   via ``feasibility_analysis`` (s* > 0) and via the certified batch
+   route's stall flags (VERDICT round 4 item 5).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cvx_tpu.models.dist_kl import DistKL
+
+
+def _family(k, mE, n, seed=0):
+    rng = np.random.default_rng(seed)
+    H = rng.uniform(0.0, 1.0, (k, n)); H[H < 0.6] = 0.0
+    x0 = rng.uniform(0.5, 1.5, n); x0 /= x0.sum()
+    u = H @ x0 + rng.uniform(0.05, 0.15, k)
+    A = rng.uniform(0.0, 1.0, (mE, n)) if mE else None
+    r = (A @ x0) if mE else None
+    return H, u, A, r
+
+
+class TestDualDim16:
+    """Widened in-register envelope: dual dim 9-16 (round 5)."""
+
+    @pytest.mark.parametrize("k,mE", [(11, 0), (13, 2), (15, 0)])
+    def test_fused_matches_dual_fast(self, k, mE):
+        n = 24
+        H, u, A, r = _family(k, mE, n)
+        prob = DistKL.create(
+            n, H=jnp.asarray(H, jnp.float64), u=jnp.asarray(u, jnp.float64),
+            A=None if A is None else jnp.asarray(A, jnp.float64),
+            r=None if r is None else jnp.asarray(r, jnp.float64))
+        s_fast = prob.solve(method="dual_fast")
+        s_fused = prob.solve(method="dual_fused")
+        assert float(jnp.max(jnp.abs(s_fast.x - s_fused.x))) < 1e-6
+        assert float(jnp.abs(s_fused.duality_gap)) < 1e-8
+        assert not bool(s_fused.stalled)
+
+    def test_multi_boundary_cold_start_converges_in_16(self):
+        # the instance that motivated the projected full-step candidate:
+        # 13 slack lams + 2 equality duals; the fraction-to-boundary cap
+        # alone retires one lam per step, so 16 steps stalled at gap
+        # ~9.2e-6 (f64) with nu off by ~6e-5
+        n = 24
+        H, u, A, r = _family(13, 2, n)
+        prob = DistKL.create(
+            n, H=jnp.asarray(H, jnp.float64), u=jnp.asarray(u, jnp.float64),
+            A=jnp.asarray(A, jnp.float64), r=jnp.asarray(r, jnp.float64))
+        s = prob.solve_dual_fused(steps=16)
+        assert float(jnp.abs(s.duality_gap)) < 1e-8
+        assert float(jnp.max(jnp.abs(s.lam))) == 0.0   # all slack, purged
+        assert not bool(s.stalled)
+
+    @pytest.mark.parametrize("k,mE", [(11, 0), (15, 0)])
+    def test_certified_contract_dim12_16(self, k, mE):
+        # the XLA-finish fallback (off-TPU auto path); the in-kernel ds
+        # epilogue at wide dims is validated on hardware (docs/SCALING.md)
+        # — its interpret-mode XLA compile takes minutes
+        n, B = 24, 3
+        H, u, A, r = _family(k, mE, n, seed=1)
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float32),
+                             u=jnp.zeros((k,), jnp.float32),
+                             dtype=jnp.float32)
+        U = jnp.asarray(np.stack([u * s for s in (1.0, 1.05, 1.1)]),
+                        jnp.float32)
+        s = prob.solve_certified_batch(U)
+        assert float(jnp.max(jnp.abs(s.duality_gap))) <= 1e-8
+        assert float(jnp.max(s.ineq_res)) <= 1e-10
+        assert not bool(jnp.any(s.stalled))
+
+    def test_dim_17_falls_back_to_dual_fast(self):
+        n = 24
+        H, u, _, _ = _family(16, 0, n)
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float64),
+                             u=jnp.asarray(u, jnp.float64))
+        s = prob.solve(method="dual_fused")   # dim 17: silent fallback
+        assert float(jnp.abs(s.duality_gap)) < 1e-8
+        assert not bool(s.stalled)
+
+
+class TestFusedCertDtypeGuard:
+    def test_fused_cert_true_on_f64_raises(self):
+        n = 16
+        H = jnp.asarray(np.eye(2, n), jnp.float64)
+        prob = DistKL.create(n, H=H, u=jnp.zeros((2,), jnp.float64))
+        U = jnp.full((2, 2), 0.5, jnp.float64)
+        with pytest.raises(ValueError, match="f32"):
+            prob.solve_certified_batch(U, fused_cert=True)
+
+
+class TestSplitGuard:
+    def test_split_of_constant_exact_under_jit(self):
+        # _split must survive the simplifier: hi + lo == a exactly and
+        # hi must carry at most 12 significant mantissa bits (Dekker);
+        # an applied (c - (c - a)) -> a rewrite would give hi == a, lo == 0
+        from cvx_tpu.ops.ds import _split
+
+        a = np.float32(np.pi)
+
+        @jax.jit
+        def f():
+            return _split(jnp.full((8,), a, jnp.float32))
+
+        hi, lo = f()
+        hi = np.asarray(hi, np.float64); lo = np.asarray(lo, np.float64)
+        assert np.all(hi + lo == np.float64(a))
+        assert np.all(lo != 0.0)          # the rewrite would zero it
+        # two_prod built on it stays error-free for a worst-case pair
+        from cvx_tpu.ops.ds import two_prod
+        b = np.float32(1.0 + 2.0 ** -23)
+
+        @jax.jit
+        def g():
+            p, e = two_prod(jnp.full((8,), a, jnp.float32),
+                            jnp.full((8,), b, jnp.float32))
+            return p, e
+
+        p, e = g()
+        exact = np.float64(a) * np.float64(b)
+        got = np.asarray(p, np.float64) + np.asarray(e, np.float64)
+        assert np.all(got == exact)
+
+
+class TestBatchedInfeasibility:
+    """VERDICT round-4 item 5: a mixed feasible/infeasible fleet must flag
+    EXACTLY the infeasible instances."""
+
+    def _mixed_batch(self, n=32, B=20, frac_infeasible=0.25, seed=0):
+        # P(A) >= pA and P(B) <= pB on disjoint A, B with |A| + |B| < n:
+        # infeasible iff pA > 1 (never) — instead use P(A) >= pA,
+        # P(A) <= qA with qA < pA for the infeasible slice
+        rng = np.random.default_rng(seed)
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        H = np.stack([-I_A, I_A])          # -P(A) <= -pA, P(A) <= qA
+        pA = rng.uniform(0.3, 0.5, B)
+        qA = pA + rng.uniform(0.05, 0.2, B)          # feasible band
+        bad = np.zeros(B, bool); bad[:: int(1 / frac_infeasible)] = True
+        qA[bad] = pA[bad] - rng.uniform(0.05, 0.1, bad.sum())  # qA < pA
+        u = np.stack([-pA, qA], axis=1)
+        return H, u, bad
+
+    def test_feasibility_analysis_flags_exactly(self):
+        from cvx_tpu.solvers.phase1 import feasibility_analysis
+        from cvx_tpu.solvers.types import SolverParams
+
+        n, B = 32, 20
+        H, u, bad = self._mixed_batch(n=n, B=B)
+        pars = SolverParams()
+
+        def one(ui):
+            prob = DistKL.create(n, H=jnp.asarray(H, jnp.float64),
+                                 u=ui)
+            rep = feasibility_analysis(prob.inequalities,
+                                       jnp.full((n,), 1.0 / n),
+                                       pars, prob.equalities)
+            return rep.s_max, rep.strictly_feasible
+
+        s_max, strict = jax.vmap(one)(jnp.asarray(u, jnp.float64))
+        flagged = np.asarray(s_max) > 0.0
+        assert np.array_equal(flagged, bad)
+        assert np.array_equal(np.asarray(strict), ~bad)
+
+    def test_certified_batch_flags_exactly(self):
+        # the certified route's stall flags are the fleet-scale
+        # infeasibility surface: an infeasible instance's dual climbs
+        # without bound, the measured |gap| blows past tol, stalled fires
+        n, B = 32, 20
+        H, u, bad = self._mixed_batch(n=n, B=B)
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float32),
+                             u=jnp.zeros((2,), jnp.float32),
+                             dtype=jnp.float32)
+        s = prob.solve_certified_batch(jnp.asarray(u, jnp.float32))
+        flagged = np.asarray(s.stalled)
+        assert np.array_equal(flagged, bad), (flagged, bad)
+        # the feasible instances still certify
+        ok = ~bad
+        assert float(np.max(np.abs(np.asarray(s.duality_gap)[ok]))) <= 1e-8
