@@ -142,6 +142,79 @@ class TestSplitGuard:
         assert np.all(got == exact)
 
 
+class TestSeparableCertify:
+    """Round-5: measured f64 certificate for the block-separable Schur
+    route (VERDICT round-4 item 4 — the config-5 row reported a
+    continuation bound and an f32 coupling error of 6.5e-5)."""
+
+    def _problem(self, K=4, nb=12, mb=6, p=3, dtype=jnp.float32, seed=5):
+        from cvx_tpu.parallel.schur import SeparableProblem
+
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        eye = jnp.eye(nb, dtype=dtype)
+        M = jax.random.normal(ks[0], (K, nb, nb), dtype) / float(np.sqrt(nb))
+        P = jnp.einsum("kij,klj->kil", M, M) + eye[None]
+        a = jax.random.normal(ks[1], (K, nb), dtype)
+        G = jnp.tile(jnp.concatenate([eye, -eye], axis=0)[None],
+                     (K, 1, 1))[:, :mb]
+        u = jnp.full((K, mb), 10.0, dtype)
+        C = jax.random.normal(ks[2], (K, p, nb), dtype) / float(np.sqrt(nb))
+        c = 0.1 * jax.random.normal(ks[3], (p,), dtype)
+        return SeparableProblem(P=P, a=a, G=G, u=u, C=C, c=c)
+
+    def test_certifies_barrier_exit_to_1e8(self):
+        from cvx_tpu.parallel.schur import (separable_barrier_solve,
+                                            separable_certify)
+        from cvx_tpu.solvers.types import SolverParams
+
+        prob = self._problem()
+        pars = SolverParams(tol=1e-7, mu=20.0, max_iter=12)
+        x0 = jnp.zeros((prob.K, prob.nb), jnp.float32)
+        sol = separable_barrier_solve(prob, x0, pars)
+        cert = separable_certify(prob, sol.x, sol.lam, sol.nu)
+        assert abs(float(cert.gap)) <= 1e-8
+        assert float(cert.ineq_res) <= 1e-10
+        assert float(cert.eq_res) <= 1e-9
+        # the certificate is a true bound: check against an independent
+        # host-f64 dual-value recompute at the SAME (lam, w)
+        P = np.asarray(prob.P, np.float64); a_ = np.asarray(prob.a,
+                                                            np.float64)
+        G = np.asarray(prob.G, np.float64); u = np.asarray(prob.u,
+                                                           np.float64)
+        C = np.asarray(prob.C, np.float64); c = np.asarray(prob.c,
+                                                           np.float64)
+        lam = np.asarray(cert.lam); w = np.asarray(cert.nu)
+        x = np.asarray(cert.x)
+        assert np.min(lam) >= 0.0
+        g = -w @ c
+        f = 0.0
+        for k in range(prob.K):
+            wv = a_[k] + G[k].T @ lam[k] + C[k].T @ w
+            y = np.linalg.solve(P[k], wv)
+            g += -0.5 * wv @ y - lam[k] @ u[k]
+            f += a_[k] @ x[k] + 0.5 * x[k] @ (P[k] @ x[k])
+        assert abs((f - g) - float(cert.gap)) < 1e-10
+
+    def test_certify_with_active_constraints(self):
+        # tighten the box so some G rows are ACTIVE at the optimum —
+        # exercises the membership update, not just the all-inactive case
+        from cvx_tpu.parallel.schur import (separable_barrier_solve,
+                                            separable_certify)
+        from cvx_tpu.solvers.types import SolverParams
+        from cvx_tpu.tree import replace
+
+        prob = self._problem()
+        prob = replace(prob, u=jnp.full_like(prob.u, 0.15))
+        pars = SolverParams(tol=1e-7, mu=20.0, max_iter=12)
+        x0 = jnp.zeros((prob.K, prob.nb), jnp.float32)
+        sol = separable_barrier_solve(prob, x0, pars)
+        cert = separable_certify(prob, sol.x, sol.lam, sol.nu)
+        assert abs(float(cert.gap)) <= 1e-8
+        assert float(cert.ineq_res) <= 1e-10
+        assert float(cert.eq_res) <= 1e-9
+        assert float(jnp.max(cert.lam)) > 0.0   # something really active
+
+
 class TestBatchedInfeasibility:
     """VERDICT round-4 item 5: a mixed feasible/infeasible fleet must flag
     EXACTLY the infeasible instances."""
