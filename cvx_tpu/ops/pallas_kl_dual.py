@@ -730,8 +730,14 @@ def kl_dual_fused_cert(
         raise ValueError(
             f"kl_dual_fused_cert supports 1 <= k + m_eq and "
             f"k + 1 + m_eq <= {_FUSED_MAX_DIM}, got k={k}, m_eq={m_eq}")
-    # VMEM guard (bt is a static arg, so this is trace-time Python)
+    # VMEM guard (bt is a static arg, so this is trace-time Python).  The
+    # ds epilogue carries hi/lo pairs, so its footprint is ~2x the f32
+    # kernel's: one extra halving beyond dim 12 (measured: dim 16 at
+    # bt=64 hit 24.8 MB against the 16 MB scoped limit on v5e; dim 12 at
+    # bt=64 fits).
     bt = _tile_for_dim(bt, dim)
+    if dim > 12:
+        bt = max(8, bt // 2)
     # hi/lo split of the log prior BEFORE the x32 trace: the lo row is the
     # f64 remainder and is the only place full precision enters (rows/rhs
     # are exact f32 data; the uniform -log n is split in host floats)

@@ -34,8 +34,12 @@ def _problem(key, m, n):
 
 
 class TestMSharded:
-    def test_sharded_equals_local_m4096(self, key):
-        m, n = 4096, 256
+    def test_sharded_equals_local_m2048(self, key):
+        # m=2048 over 8 devices = 256 rows/shard: the same psum'd-reduction
+        # coverage as the original m=4096 at ~1/4 the wall clock (round-4
+        # suite audit: 21 s; the m-scaling itself is not what this pins —
+        # sharded == local equality is)
+        m, n = 2048, 128
         obj, G, c, ub, z = _problem(key, m, n)
         x0 = jnp.zeros((n,))
         pars = SolverParams(tol=1e-9, mu=20.0)

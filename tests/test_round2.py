@@ -264,7 +264,10 @@ class TestDualPolish:
         """The f32 closed-form dual route must recover sum(q) = 1 to 1e-4
         BEFORE renormalization (round-1 caveat: ~8e-2 on tail instances)."""
         n = 100
-        pAs = np.linspace(0.2, 0.5, 16)
+        # 5 probes spanning the family (was 16: the round-4 suite audit
+        # found this test 23 s — the tail behavior it pins shows up at the
+        # ends and midpoint, not between neighboring pA values)
+        pAs = np.array([0.2, 0.275, 0.35, 0.425, 0.5])
         worst = 0.0
         for pA in pAs:
             prob, _ = bench_family(n, pA=float(pA), pB=0.7,
