@@ -939,9 +939,10 @@ class TestDeepReviewFixes:
         assert sol.lam.dtype == jnp.float32
 
     def test_certified_batch_fallback_iters_honest(self):
-        """The dim > 5 fallback runs its own cold-start schedule (>= 30
-        steps) and reports THAT in iters, not the kernel-sized default."""
-        n, k, B = 24, 9, 2
+        """The beyond-kernel fallback (dual dim > 16 since the round-5
+        widening; was > 8) runs its own cold-start schedule (>= 30 steps)
+        and reports THAT in iters, not the kernel-sized default."""
+        n, k, B = 24, 17, 2
         rng = np.random.default_rng(5)
         rows = np.zeros((k, n))
         for i in range(k):
