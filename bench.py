@@ -353,21 +353,25 @@ def _run(n):
         _, cx, cg, cir, ceg = out
         cx = np.asarray(cx)
         cg = np.asarray(cg); cir = np.asarray(cir); ceg = np.asarray(ceg)
+        # ONE gap convention everywhere (ADVICE round 4): max |gap| — the
+        # signed min can be the larger magnitude, and docs/SCALING.md
+        # quotes max |.|; the contract check uses the stricter |gap|
+        cg_maxabs = float(np.max(np.abs(cg)))
         log(f"certified (in-kernel float32x2 finish on TPU, "
             f"XLA f64 finish elsewhere): compile {cert_compile:.1f}s "
             f"solve {cert_el*1e3:.1f}ms ({batch/cert_el:,.0f} inst/s, "
             f"{cert_el/elapsed:.1f}x f32-only)  measured gap: "
-            f"max={float(np.max(cg)):.2e} min={float(np.min(cg)):.2e}  "
+            f"max|.|={cg_maxabs:.2e}  "
             f"ineq_res max={float(np.max(cir)):.2e}  "
             f"eq max={float(np.max(ceg)):.2e}  "
-            f"contract gap<=1e-8: {'PASS' if np.max(cg) <= 1e-8 else 'FAIL'}")
+            f"contract |gap|<=1e-8: {'PASS' if cg_maxabs <= 1e-8 else 'FAIL'}")
         # fold the certified block into the single parsed record so the
         # driver capture carries the contract, not just the f32 headline
         cert_record = {
             "certified_inst_per_s": round(batch / cert_el, 1),
             "certified_ms": round(cert_el * 1e3, 2),
-            "certified_gap_max": float(np.max(cg)),
-            "contract_1e8": bool(np.max(cg) <= 1e-8),
+            "certified_gap_max": cg_maxabs,
+            "contract_1e8": bool(cg_maxabs <= 1e-8),
         }
 
     instances_per_s = batch / elapsed

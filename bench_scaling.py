@@ -342,10 +342,13 @@ def kl_certified(records, dtype, on_tpu, n=100, batch=None):
         "metric": f"kl_certified_1e8_n{n}", "batch": batch,
         "value": round(batch / sec, 1), "unit": "instances/s",
         "ms_per_batch": round(sec * 1e3, 2),
+        # ONE gap convention (ADVICE round 4): max |gap| is the quoted
+        # number; the signed extremes stay for completeness
+        "gap_measured_maxabs": float(np.max(np.abs(gaps))),
         "gap_measured_max": float(np.max(gaps)),
         "gap_measured_min": float(np.min(gaps)),
         "ineq_res_max": float(np.max(np.asarray(ineq))),
-        "contract_1e8": bool(np.max(gaps) <= 1e-8),
+        "contract_1e8": bool(np.max(np.abs(gaps)) <= 1e-8),
     }
     records.append(rec)
     print(json.dumps(rec), flush=True)
@@ -715,7 +718,12 @@ def phase1_fleet(records, dtype, on_tpu):
     bad = np.zeros(batch, bool); bad[::10] = True        # 10% infeasible
     qA[bad] = pA[bad] - rng.uniform(0.05, 0.1, bad.sum())
     u = jnp.asarray(np.stack([-pA, qA], axis=1), dtype)
-    pars = SolverParams()
+    # SCREENING tolerances: the flag is the SIGN of s* against margins of
+    # O(0.05) — solving phase-I to the 1e-8 production tolerance under a
+    # 10k-lane vmap (all lanes coupled to the slowest) tripped the remote
+    # worker's execution watchdog; 1e-6 + a 60-iteration cap is orders of
+    # magnitude beyond what the sign needs
+    pars = SolverParams(tol=1e-6, max_iter=60)
     prob0 = DistKL.create(n, H=H, u=jnp.zeros((2,), dtype), dtype=dtype)
     x_start = jnp.full((n,), 1.0 / n, dtype)
 
