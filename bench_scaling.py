@@ -727,13 +727,11 @@ def phase1_fleet(records, dtype, on_tpu):
     prob0 = DistKL.create(n, H=H, u=jnp.zeros((2,), dtype), dtype=dtype)
     x_start = jnp.full((n,), 1.0 / n, dtype)
 
+    # FLEET screen (DistKL.feasibility_batch): the shared-equality
+    # elimination hoisted out of the vmap — the per-instance generic path
+    # re-QRs the same nullspace in every lane
     def screen(u):
-        def one(ui):
-            prob = DistKL.create(n, H=H, u=ui, dtype=dtype)
-            rep = feasibility_analysis(prob.inequalities, x_start, pars,
-                                       prob.equalities)
-            return rep.s_max, rep.strictly_feasible
-        return jax.vmap(one)(u)
+        return prob0.feasibility_batch(u, pars)
 
     reps = 3 if on_tpu else 1
     sec, (_, (s_max, strict)) = timed(chained(screen, reps), u, reps=reps)
@@ -744,6 +742,33 @@ def phase1_fleet(records, dtype, on_tpu):
         "ms_per_batch": round(sec * 1e3, 2),
         "infeasible_in_batch": int(bad.sum()),
         "flags_exact": bool(np.array_equal(flagged, bad)),
+    }
+    records.append(rec)
+    print(json.dumps(rec), flush=True)
+
+    # generic per-instance feasibility_analysis under vmap, smaller batch
+    # (10k lanes of the coupled while_loop outran the worker watchdog):
+    # the reference-shaped path's own row
+    bg = min(batch, 2000)
+    ug = u[:bg]
+
+    def screen_generic(u):
+        def one(ui):
+            prob = DistKL.create(n, H=H, u=ui, dtype=dtype)
+            rep = feasibility_analysis(prob.inequalities, x_start, pars,
+                                       prob.equalities)
+            return rep.s_max, rep.strictly_feasible
+        return jax.vmap(one)(u)
+
+    reps = 1
+    sec, (_, (s_max, strict)) = timed(chained(screen_generic, reps), ug,
+                                      reps=reps, tries=2)
+    flagged = np.asarray(s_max) > 0.0
+    rec = {
+        "metric": f"phase1_fleet_generic_n{n}", "batch": bg,
+        "value": round(bg / sec, 1), "unit": "instances/s",
+        "ms_per_batch": round(sec * 1e3, 2),
+        "flags_exact": bool(np.array_equal(flagged, bad[:bg])),
     }
     records.append(rec)
     print(json.dumps(rec), flush=True)
@@ -799,8 +824,15 @@ def qp_fleet(records, dtype, on_tpu):
         b = jnp.zeros((p,), dtype)                      # x0 = 0 on Ax = b
         a_b = jax.random.normal(ks[1], (batch, n), dtype)
         ub_b = jax.random.uniform(ks[3], (batch, m), dtype, 0.5, 1.5)
+        # max_iter=40: a rare instance spins its inner Newton at the f32
+        # resolution floor (measured: 2052 iters at the default cap vs 132
+        # at 40, with the IDENTICAL exit gap/eq quality) — under vmap every
+        # lane pays the pathological lane's iterations, and at batch 512
+        # the uncapped chained program outran the remote worker's watchdog
+        # (worker crash).  Final accuracy comes from qp_certify, not the
+        # f32 barrier tail.
         pars = SolverParams(tol=1e-7, mu=20.0, kkt_method="chol",
-                            kkt_refine=1)
+                            kkt_refine=1, max_iter=40)
         x0 = jnp.zeros((n,), dtype)
 
         def solve(a_b, ub_b=ub_b):

@@ -663,8 +663,13 @@ class DistKL:
         nan = jnp.asarray(jnp.nan, jnp.float64)
         stalled = jnp.logical_or(
             jnp.logical_not(jnp.all(jnp.isfinite(cert.x))),
-            jnp.logical_not(jnp.abs(cert.gap) <= pars.tol))  # |.|:
-        # infeasible -> -inf; not-<= form: a NaN gap must flag too
+            jnp.logical_not(jnp.logical_and(
+                jnp.abs(cert.gap) <= pars.tol,
+                jnp.logical_and(cert.ineq_res <= pars.tol_feas,
+                                cert.eq_res <= pars.tol_feas))))  # |.|:
+        # infeasible -> -inf; not-<= form: a NaN gap must flag too; the
+        # measured residuals join the predicate (a small gap alone cannot
+        # certify feasibility — see solve_certified_batch)
         return Solution(
             x=cert.x, lam=cert.lam, nu=cert.nu, newton_decrement=nan,
             duality_gap=cert.gap, eq_gap=cert.eq_res,
@@ -750,9 +755,19 @@ class DistKL:
             gap = gh.astype(f64) + gl.astype(f64)
             ineq = ineq32.astype(f64)
             eq = eq32.astype(f64)
+            # health = gap AND measured residuals: an INFEASIBLE instance
+            # whose finite-step dual has not diverged far can land at a
+            # small measured gap (g bounds an infeasible problem's +inf
+            # optimum, so f - g says nothing about feasibility) while x
+            # violates its rows by O(margin) — found by the round-5
+            # 2000-instance mixed-fleet bench, where 1 of 200 infeasible
+            # instances slipped a gap-only flag
             stalled = jnp.logical_or(
                 jnp.logical_not(jnp.all(jnp.isfinite(x), axis=1)),
-                jnp.logical_not(jnp.abs(gap) <= pars.tol))   # NaN-safe
+                jnp.logical_not(jnp.logical_and(
+                    jnp.abs(gap) <= pars.tol,
+                    jnp.logical_and(ineq <= pars.tol_feas,
+                                    eq <= pars.tol_feas))))   # NaN-safe
             nan = jnp.full((B,), jnp.nan, f64)
             return Solution(
                 x=x, lam=z[:, :k], nu=z[:, k:], newton_decrement=nan,
@@ -802,9 +817,12 @@ class DistKL:
 
         rb_ = rb if m_eq > 0 else jnp.zeros((B, 0), dtype)
         certs = jax.vmap(certify_one)(u, rb_, xs, zs)
-        stalled = jnp.logical_or(
+        stalled = jnp.logical_or(           # gap AND residuals (see the
             jnp.logical_not(jnp.all(jnp.isfinite(certs.x), axis=1)),
-            jnp.logical_not(jnp.abs(certs.gap) <= pars.tol))  # NaN-safe
+            jnp.logical_not(jnp.logical_and(   # fused branch's comment)
+                jnp.abs(certs.gap) <= pars.tol,
+                jnp.logical_and(certs.ineq_res <= pars.tol_feas,
+                                certs.eq_res <= pars.tol_feas))))
         nan = jnp.full((B,), jnp.nan, jnp.float64)
         return Solution(
             x=certs.x, lam=certs.lam, nu=certs.nu, newton_decrement=nan,
@@ -963,3 +981,51 @@ class DistKL:
         x0 = jnp.full((self.n,), 1.0 / self.n, self.H.dtype)
         return feasibility_analysis(self.inequalities, x0, pars,
                                     self.equalities)
+
+    def feasibility_batch(self, u, pars: SolverParams | None = None):
+        """FLEET phase-I screen: per-instance bounds ``u`` (B, k) against
+        this problem's shared rows.  Returns ``(s_max (B,),
+        strictly_feasible (B,))`` — ``s_max > 0`` is the per-instance
+        infeasibility certificate (the minimized shared slack cannot reach
+        0, i.e. NO point satisfies the constraints; the reference raises
+        InfeasibleProblemException from exactly this condition,
+        ConstraintSet.scala:571-572).
+
+        The generic per-instance route (``feasibility_analysis`` under
+        vmap) re-eliminates the SHARED equality system in every lane — a
+        per-instance nullspace QR that dominates fleet screening.  Here
+        the reduction x = z0 + F v is computed ONCE (the equalities do not
+        vary across the fleet), the all-linear inequality set pulls back
+        to shared (G_v, c_v) with only ``ub`` varying, and the exact
+        low-rank structured phase-I vmaps over bounds alone.  Same math as
+        phase1_by_reduction -> _phase1_linear_structured
+        (ConstraintSet.scala:424-477), restructured for the fleet.
+        """
+        from ..problem.constraints import LinearBlock
+        from ..solvers.phase1 import _phase1_linear_structured
+
+        pars = pars or SolverParams()
+        dtype = self.H.dtype
+        k = self.H.shape[0]
+        eqs = self.equalities
+        ss = eqs.solution_space()             # ONCE: shared across fleet
+        # x-space blocks: H x <= u_i (varying ub), -x <= 0 (fixed)
+        Gv_rows = self.H @ ss.F               # (k, n - p)
+        cv_rows = self.H @ ss.z0
+        Gv_pos = -ss.F
+        cv_pos = -ss.z0
+        v0 = jnp.zeros((ss.F.shape[1],), dtype)
+
+        def screen_one(ui):
+            blocks = []
+            if k > 0:
+                blocks.append(LinearBlock(G=Gv_rows, c=cv_rows, ub=ui,
+                                          label="rows"))
+            blocks.append(LinearBlock(G=Gv_pos, c=cv_pos,
+                                      ub=jnp.zeros((self.n,), dtype),
+                                      label="positivity"))
+            cnts_v = ConstraintSet(blocks=tuple(blocks))
+            rep = _phase1_linear_structured(cnts_v, v0, pars)
+            return rep.s_max, rep.strictly_feasible
+
+        return jax.vmap(screen_one)(jnp.asarray(u, dtype))

@@ -254,6 +254,22 @@ class TestBatchedInfeasibility:
         assert np.array_equal(flagged, bad)
         assert np.array_equal(np.asarray(strict), ~bad)
 
+    def test_feasibility_batch_flags_exactly(self):
+        # the fleet screen (shared-equality elimination hoisted out of the
+        # vmap) must agree with the generic per-instance analysis
+        from cvx_tpu.solvers.types import SolverParams
+
+        n, B = 32, 20
+        H, u, bad = self._mixed_batch(n=n, B=B)
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float64),
+                             u=jnp.zeros((2,), jnp.float64))
+        s_max, strict = prob.feasibility_batch(
+            jnp.asarray(u, jnp.float64), SolverParams(tol=1e-6,
+                                                      max_iter=60))
+        flagged = np.asarray(s_max) > 0.0
+        assert np.array_equal(flagged, bad)
+        assert np.array_equal(np.asarray(strict), ~bad)
+
     def test_certified_batch_flags_exactly(self):
         # the certified route's stall flags are the fleet-scale
         # infeasibility surface: an infeasible instance's dual climbs
