@@ -708,8 +708,15 @@ def phase1_fleet(records, dtype, on_tpu):
     from cvx_tpu.solvers.phase1 import feasibility_analysis
 
     n = 100
+    # batch 2000: the phase-I while_loop couples all vmap lanes, and a
+    # 10k-lane run (~90 s execution, measured from the B=1000/2000/5000
+    # ladder at ~8 ms/instance) outruns the remote worker's execution
+    # watchdog.  The FAST fleet screen is the certified route's stall
+    # flags (the certified_mixed_fleet row below, ~100x phase-I
+    # throughput); phase-I is the route that also RETURNS the strictly
+    # feasible point and the s* > 0 certificate.
     batch = int(os.environ.get("SCALE_PHASE1_BATCH",
-                               10000 if on_tpu else 64))
+                               2000 if on_tpu else 64))
     rng = np.random.default_rng(0)
     I_A = np.zeros(n); I_A[:3] = 1.0
     H = jnp.asarray(np.stack([-I_A, I_A]), dtype)
@@ -842,9 +849,21 @@ def qp_fleet(records, dtype, on_tpu):
                 return s.x, s.iters, s.duality_gap, s.ineq_res, s.eq_gap
             return jax.vmap(one)(a_b, ub_b)
 
-        reps = 2 if on_tpu else 1
-        sec, (_, (x, iters, gap, ineq, eq)) = timed(
-            chained(solve, reps), a_b, reps=reps)
+        # NO chained reps here: per-run execution is seconds (3-7 s
+        # measured at n=128), so the tunnel's ~40 ms dispatch jitter is
+        # already < 1% — and the chained double-length program pushed the
+        # remote compile past the worker's limit (observed worker crash
+        # mid-compile; a single batch-512 compile alone measured 4.3 min)
+        reps = 1
+        try:
+            sec, (_, (x, iters, gap, ineq, eq)) = timed(
+                chained(solve, reps), a_b, reps=reps)
+        except Exception as e:     # record the failure, keep the group
+            rec = {"metric": f"qp_fleet_n{n}", "batch": batch,
+                   "error": f"{type(e).__name__}: {str(e)[:160]}"}
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+            continue
         iters = np.asarray(iters); gap = np.asarray(gap)
         rec = {
             "metric": f"qp_fleet_n{n}", "batch": batch,
