@@ -788,7 +788,9 @@ def phase1_fleet(records, dtype, on_tpu):
     jax.config.update("jax_enable_x64", True)
 
     def solve_mixed(u):
-        s = prob0.solve_certified_batch(u, pars=pars)
+        # default pars: the certified route's own tolerances, NOT the
+        # loosened screening pars above
+        s = prob0.solve_certified_batch(u)
         return s.duality_gap, s.stalled
 
     reps = 3 if on_tpu else 1

@@ -331,7 +331,14 @@ def qp_certify(P, a, G, h, A, b, x, lam, nu, polish_steps: int = 3,
         LP_, _ = regularized_cholesky(P64, delta=1e-13)
 
         def P_solve(v):
-            return chol_solve_factored(LP_, v)
+            # one iterative-refinement pass: under TPU's EMULATED f64 the
+            # triangular solves carry ~1e-12 relative error amplified by
+            # cond(P), which floored the measured QP-fleet gap at ~4e-8
+            # for n >= 512 (true f64 on CPU: 2.6e-11 for the same data) —
+            # refinement against the measured residual recovers it
+            y = chol_solve_factored(LP_, v)
+            r = v - P64 @ y
+            return y + chol_solve_factored(LP_, r)
         def P_mv(v):
             return P64 @ v
     Y = P_solve(B.T)                             # P^-1 B'  (n, m+p)
@@ -368,6 +375,11 @@ def qp_certify(P, a, G, h, A, b, x, lam, nu, polish_steps: int = 3,
         Mf = Mf + 1e-13 * (1.0 + jnp.abs(jnp.diag(Mf))) * jnp.eye(dim)
         Lm, _ = regularized_cholesky(Mf, delta=1e-14)
         z = D * chol_solve_factored(Lm, D * rhs)
+        # emulated-f64 refinement (see P_solve): the Schur solve's error
+        # lands FIRST-ORDER in the measured gap through the clip of
+        # near-zero active multipliers
+        r = D * rhs - Mf @ z
+        z = D * (z + chol_solve_factored(Lm, r))
         _, x = g_of(z)
         slack = q - B @ x
         act_new = jnp.where(ineq,

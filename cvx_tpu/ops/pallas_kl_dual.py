@@ -76,7 +76,8 @@ def _tile_for_dim(bt: int, dim: int) -> int:
 
 
 def _solve_small(m, gf, dim, dtype):
-    """dz = -M^-1 gf for the scalar-register Newton system.
+    """dz = -M^-1 gf for the scalar-register Newton system, plus a
+    per-lane ``sick`` flag for (near-)singular free subspaces.
 
     ``m`` maps (i, j), i <= j, to the (bt, 1) entries of the symmetric
     positive-definite M (frozen coordinates carry a unit diagonal).
@@ -84,15 +85,29 @@ def _solve_small(m, gf, dim, dtype):
     unrolled Cholesky (straight-line code, ~dim^3/3 scalar ops on (bt, 1)
     registers — tiny-dim tensor ops would scalarize under Mosaic, see the
     module docstring).
+
+    ``sick`` (bt, 1) bool: the free-set Hessian lost (almost) all of a
+    pivot to cancellation — e.g. EXACTLY ANTI-PARALLEL constraint rows
+    whose lams are transiently both free (found by a round-5 mixed-fleet
+    family: P(A) >= pA and P(A) <= qA rows are +/-I_A; an overshoot past
+    qA releases the second lam, M goes singular, and the adjugate emits a
+    garbage direction every step — the solve jammed permanently at gap
+    0.47).  Callers substitute a Jacobi-preconditioned gradient step for
+    sick lanes (a guaranteed descent direction through the same
+    value-checked line search).  Detection: pivot <= 10 eps * its
+    pre-elimination diagonal (dim >= 4) / det <= 10 eps * the Hadamard
+    diagonal product (dim <= 3).  Returns ``(dz, sick)``.
     """
+    eps10 = 10.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype)
     if dim == 1:
-        return [-gf[0] / m[(0, 0)]]
+        return [-gf[0] / m[(0, 0)]], jnp.zeros_like(gf[0], jnp.bool_)
     if dim == 2:
         det = m[(0, 0)] * m[(1, 1)] - m[(0, 1)] * m[(0, 1)]
+        sick = det <= eps10 * (m[(0, 0)] * m[(1, 1)])
         return [
             -(m[(1, 1)] * gf[0] - m[(0, 1)] * gf[1]) / det,
             -(m[(0, 0)] * gf[1] - m[(0, 1)] * gf[0]) / det,
-        ]
+        ], sick
     if dim > _FUSED_MAX_DIM:
         raise ValueError(f"_solve_small: dim {dim} > {_FUSED_MAX_DIM}")
     if dim == 3:
@@ -100,6 +115,7 @@ def _solve_small(m, gf, dim, dtype):
         c01 = m[(1, 2)] * m[(0, 2)] - m[(0, 1)] * m[(2, 2)]
         c02 = m[(0, 1)] * m[(1, 2)] - m[(1, 1)] * m[(0, 2)]
         det = m[(0, 0)] * c00 + m[(0, 1)] * c01 + m[(0, 2)] * c02
+        sick = det <= eps10 * (m[(0, 0)] * m[(1, 1)] * m[(2, 2)])
         return [
             -(c00 * gf[0] + c01 * gf[1] + c02 * gf[2]) / det,
             -(c01 * gf[0] + (m[(0, 0)] * m[(2, 2)]
@@ -110,16 +126,19 @@ def _solve_small(m, gf, dim, dtype):
                              - m[(0, 0)] * m[(1, 2)]) * gf[1]
               + (m[(0, 0)] * m[(1, 1)]
                  - m[(0, 1)] * m[(0, 1)]) * gf[2]) / det,
-        ]
+        ], sick
     # dim 4-16: unrolled Cholesky M = L L', forward+back substitution.
     # max(.., tiny) keeps batch-padded instances (all-zero rows) finite —
     # their garbage steps reject on value and never leave the pad lanes.
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     L = {}
+    sick = None
     for j in range(dim):
         d = m[(j, j)]
         for p in range(j):
             d = d - L[(j, p)] * L[(j, p)]
+        bad_j = d <= eps10 * m[(j, j)]
+        sick = bad_j if sick is None else jnp.logical_or(sick, bad_j)
         L[(j, j)] = jnp.sqrt(jnp.maximum(d, tiny))
         for i in range(j + 1, dim):
             off = m[(j, i)]
@@ -138,7 +157,7 @@ def _solve_small(m, gf, dim, dtype):
         for p in range(i + 1, dim):
             s = s - L[(p, i)] * dz[p]
         dz[i] = s / L[(i, i)]
-    return dz
+    return dz, sick
 
 
 def _make_ctx(bs, wu, logp, *, k: int, m_eq: int, n_valid: int):
@@ -279,7 +298,15 @@ def _newton_z(ctx, *, n_steps: int, z0: float, n_ls: int, eps: float):
                     mij = mij * (1.0 + 10.0 * eps)
                 m[(i, j)] = mij
 
-        dz = _solve_small(m, gf, dim, dtype)
+        dz, sick = _solve_small(m, gf, dim, dtype)
+        # sick (near-singular free set, e.g. transiently-free ANTI-PARALLEL
+        # rows): the Newton direction is garbage and every candidate
+        # rejects — the round-5 jam (see _solve_small).  Substitute a
+        # Jacobi-preconditioned gradient direction: guaranteed descent,
+        # same value-checked line search, no extra exp passes; once the
+        # overshoot unwinds the redundant lam refreezes and Newton resumes.
+        for j in range(dim):
+            dz[j] = jnp.where(sick, -gf[j] / m[(j, j)], dz[j])
 
         # a lam ALREADY at its bound cannot move down: zero that component
         # of the direction (otherwise t_bd = 0 freezes the whole step; the
@@ -557,7 +584,7 @@ def _ds_polish(ctx, logp_ds, z32, steps: int, eps: float):
                     mij = mij + (1.0 - frees[i])
                     mij = mij * (1.0 + 10.0 * eps)
                 m[(i, j)] = mij
-        dz = _solve_small(m, gf, dim, dtype)
+        dz, sick = _solve_small(m, gf, dim, dtype)
         # bound-locked lam cannot move down (same two guards as the f32
         # step and _kl_warm_polish)
         for j in range(k):
@@ -571,8 +598,18 @@ def _ds_polish(ctx, logp_ds, z32, steps: int, eps: float):
             t_bd = jnp.minimum(t_bd, tj)
         t = jnp.minimum(jnp.asarray(1.0, dtype), t_bd)
         fin = jnp.ones((bt, 1), jnp.bool_)
+        dz_inf = jnp.zeros((bt, 1), dtype)
         for j in range(dim):
             fin = jnp.logical_and(fin, jnp.isfinite(dz[j]))
+            dz_inf = jnp.maximum(dz_inf, jnp.abs(dz[j]))
+        # WARM-START contract guard: the polish has no line search (full
+        # Newton from a ~1e-6 start), so a sick free-set Hessian or an
+        # oversized direction (||dz||_inf > 1 from a ~converged start is
+        # always a broken system, legit refinement steps are ~1e-6) must
+        # take NO step — the certificate is then honestly measured at the
+        # f32 iterate instead of a corrupted one
+        fin = jnp.logical_and(fin, jnp.logical_and(
+            jnp.logical_not(sick), dz_inf <= 1.0))
         z_new = []
         for j in range(dim):
             nj = D.ds_add(zd[j], D.ds_prod_ff(t, dz[j]))

@@ -99,6 +99,49 @@ class TestDualDim16:
         assert not bool(s.stalled)
 
 
+class TestAntiParallelRows:
+    """Round-5 robustness pin: ANTI-PARALLEL constraint rows (P(A) >= pA
+    and P(A) <= qA are -I_A and +I_A) make the free-set dual Hessian
+    EXACTLY singular whenever an overshoot transiently releases both lams
+    — the adjugate/Cholesky then emits a garbage direction, every
+    line-search candidate rejects, and the solve jammed permanently
+    (instance 1423 of the round-5 mixed-fleet family froze at gap 0.47
+    with lam1 = 3.75).  Fixed by the per-lane ``sick`` detection in
+    _solve_small + the Jacobi-gradient substitute direction; the warm
+    polish paths take NO step on a sick/oversized direction instead."""
+
+    # the exact jammed instance (batch 2000, seed 0, index 1423)
+    PA, QA = 0.4444439978653988, 0.49597226141316375
+
+    def test_jammed_instance_converges(self):
+        n = 100
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        H = np.stack([-I_A, I_A]).astype(np.float32)
+        u = np.array([[-self.PA, self.QA]], np.float32)
+        from cvx_tpu.ops.pallas_kl_dual import kl_dual_fused
+        with jax.enable_x64(False):
+            x, gap, z = kl_dual_fused(jnp.asarray(H)[None],
+                                      jnp.asarray(u), n_steps=16, bt=8,
+                                      interpret=True)
+        assert abs(float(gap[0])) < 1e-5           # f32 in-kernel floor
+        # the lower constraint is active at the optimum: P(A) = pA
+        assert abs(float(jnp.sum(x[0][:3])) - self.PA) < 1e-5
+        assert float(z[0][1]) == 0.0               # redundant lam purged
+
+    def test_certified_contract_on_jammed_instance(self):
+        n = 100
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        H = np.stack([-I_A, I_A]).astype(np.float32)
+        u = jnp.asarray(np.array([[-self.PA, self.QA]]), jnp.float32)
+        prob = DistKL.create(n, H=jnp.asarray(H),
+                             u=jnp.zeros((2,), jnp.float32),
+                             dtype=jnp.float32)
+        s = prob.solve_certified_batch(u)
+        assert abs(float(s.duality_gap[0])) <= 1e-8
+        assert float(s.ineq_res[0]) <= 1e-10
+        assert not bool(s.stalled[0])
+
+
 class TestFusedCertDtypeGuard:
     def test_fused_cert_true_on_f64_raises(self):
         n = 16
