@@ -238,6 +238,28 @@ class TestSeparableCertify:
             f += a_[k] @ x[k] + 0.5 * x[k] @ (P[k] @ x[k])
         assert abs((f - g) - float(cert.gap)) < 1e-10
 
+    def test_sharded_certify_matches_local(self):
+        # 8 blocks over the 8-device CPU mesh: the psum'd certificate must
+        # equal the single-device one (same reduction order up to psum)
+        from cvx_tpu import parallel
+        from cvx_tpu.parallel.schur import (make_sharded_separable_certify,
+                                            separable_barrier_solve,
+                                            separable_certify)
+        from cvx_tpu.solvers.types import SolverParams
+
+        prob = self._problem(K=8)
+        pars = SolverParams(tol=1e-7, mu=20.0, max_iter=12)
+        x0 = jnp.zeros((prob.K, prob.nb), jnp.float32)
+        sol = separable_barrier_solve(prob, x0, pars)
+        c_loc = separable_certify(prob, sol.x, sol.lam, sol.nu)
+        mesh = parallel.block_mesh(8)
+        c_sh = make_sharded_separable_certify(mesh)(prob, sol.x, sol.lam,
+                                                    sol.nu)
+        assert abs(float(c_sh.gap)) <= 1e-8
+        assert float(c_sh.eq_res) <= 1e-9
+        assert abs(float(c_sh.gap - c_loc.gap)) < 1e-10
+        assert float(jnp.max(jnp.abs(c_sh.x - c_loc.x))) < 1e-10
+
     def test_certify_with_active_constraints(self):
         # tighten the box so some G rows are ACTIVE at the optimum —
         # exercises the membership update, not just the all-inactive case
