@@ -249,13 +249,13 @@ def _kl_warm_polish(B, w, R, z, k, steps: int):
         z_new = jnp.where(jnp.logical_and(
             ineq, z_new <= 8.0 * eps * jnp.abs(z)), 0.0, z_new)
         # defensive: a non-finite step (divergent dual of an INFEASIBLE
-        # instance) OR an oversized one (||dz||_inf > 1 from a warm
-        # ~converged start means a broken — e.g. singular anti-parallel-
-        # rows — free-set Hessian; there is no line search here) keeps the
-        # previous iterate — the measured gap is then honest at the input
-        # point and the stall flags fire
+        # instance) OR an ABSURD one (a broken — e.g. singular
+        # anti-parallel-rows — free-set Hessian emits ||dz|| ~ 1e7; there
+        # is no line search here, while rough-but-sane warm starts move
+        # O(1)) keeps the previous iterate — the measured gap is then
+        # honest at the input point and the stall flags fire
         ok = jnp.logical_and(jnp.all(jnp.isfinite(z_new)),
-                             jnp.max(jnp.abs(dz)) <= 1.0)
+                             jnp.max(jnp.abs(dz)) <= 1e3)
         z_new = jnp.where(ok, z_new, z)
         return z_new, None
 

@@ -67,10 +67,13 @@ def _tile_for_dim(bt: int, dim: int) -> int:
     working set grows ~linearly with dim (the yh row-product cache and the
     ds epilogue's hi/lo products are dim x (bt, n) tiles) — bt=256 at
     dim 6 measured 18.6-20.4 MB against the 16 MB scoped-VMEM limit on
-    v5e.  Halve beyond dim 5, halve again beyond dim 8."""
+    v5e, and dim 16 at bt=64 measured 16.8 MB once the round-5 projected
+    candidate's extra row landed.  Halve beyond dim 5, 8 and 12."""
     if dim > 5:
         bt = max(8, bt // 2)
     if dim > 8:
+        bt = max(8, bt // 2)
+    if dim > 12:
         bt = max(8, bt // 2)
     return bt
 
@@ -603,13 +606,13 @@ def _ds_polish(ctx, logp_ds, z32, steps: int, eps: float):
             fin = jnp.logical_and(fin, jnp.isfinite(dz[j]))
             dz_inf = jnp.maximum(dz_inf, jnp.abs(dz[j]))
         # WARM-START contract guard: the polish has no line search (full
-        # Newton from a ~1e-6 start), so a sick free-set Hessian or an
-        # oversized direction (||dz||_inf > 1 from a ~converged start is
-        # always a broken system, legit refinement steps are ~1e-6) must
-        # take NO step — the certificate is then honestly measured at the
-        # f32 iterate instead of a corrupted one
+        # Newton from a warm start), so a sick free-set Hessian or an
+        # ABSURD direction (a broken/singular system emits ||dz|| ~ 1e7;
+        # legit refinement steps are ~1e-6, rough-but-sane warm starts
+        # ~O(1)) must take NO step — the certificate is then honestly
+        # measured at the f32 iterate instead of a corrupted one
         fin = jnp.logical_and(fin, jnp.logical_and(
-            jnp.logical_not(sick), dz_inf <= 1.0))
+            jnp.logical_not(sick), dz_inf <= 1e3))
         z_new = []
         for j in range(dim):
             nj = D.ds_add(zd[j], D.ds_prod_ff(t, dz[j]))
@@ -769,11 +772,12 @@ def kl_dual_fused_cert(
             f"k + 1 + m_eq <= {_FUSED_MAX_DIM}, got k={k}, m_eq={m_eq}")
     # VMEM guard (bt is a static arg, so this is trace-time Python).  The
     # ds epilogue carries hi/lo pairs, so its footprint is ~2x the f32
-    # kernel's: one extra halving beyond dim 12 (measured: dim 16 at
-    # bt=64 hit 24.8 MB against the 16 MB scoped limit on v5e; dim 12 at
-    # bt=64 fits).
+    # kernel's: one extra halving beyond dim 8 (measured on v5e against
+    # the 16 MB scoped limit: dim 16 at bt=64 hit 24.8 MB; dim 12 at
+    # bt=64 was 16.26 MB — over by 268 KB once the round-5 sick/trust
+    # guards' registers landed).
     bt = _tile_for_dim(bt, dim)
-    if dim > 12:
+    if dim > 8:
         bt = max(8, bt // 2)
     # hi/lo split of the log prior BEFORE the x32 trace: the lo row is the
     # f64 remainder and is the only place full precision enters (rows/rhs
