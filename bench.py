@@ -197,13 +197,18 @@ def _run(n):
         # ~-1e-8, i.e. converged); 12 keeps 2+ steps of margin over the
         # flagship distribution while saving ~1.5 ms vs the old 16.
         steps = int(os.environ.get("BENCH_DUAL_STEPS", 12))
+        # batch-tile knob for hardware sweeps.  Round-5 interleaved A/B on
+        # v5e at the flagship shape: 256 == 512 within tunnel noise
+        # (5.2-5.4 ms both), 128 ~7% slower, 1024 fails remote compile —
+        # 256 stays the default
+        bt = int(os.environ.get("BENCH_BT", 256)) if on_tpu else 8
         Hb = jnp.tile(H[None], (batch, 1, 1))
 
         def vsolve(pA, pB):
             u = jnp.stack([-pA, pB], axis=1)
             xs, gaps, _ = kl_dual_fused(Hb, u, n_steps=steps,
                                         interpret=not on_tpu,
-                                        bt=256 if on_tpu else 8)
+                                        bt=bt)
             iters = jnp.full((batch,), steps, jnp.int32)
             return xs, gaps, iters
     elif method == "dual_fast":

@@ -666,11 +666,13 @@ def kl_dual_fast_rows(records, dtype, on_tpu):
                                        dtype, 0.55, 0.8))
     fams.append((2, np.stack([-I_A, I_B]),
                  np.stack([-pA, pB], axis=1)))
-    k = 11
-    Hw = rng.uniform(0.0, 1.0, (k, n)); Hw[Hw < 0.6] = 0.0
-    x0 = rng.uniform(0.5, 1.5, n); x0 /= x0.sum()
-    margins = rng.uniform(0.05, 0.15, (batch, k))
-    fams.append((k, Hw, (Hw @ x0)[None, :] + margins))
+    for k in (11, 19):
+        # k=11 (dim 12) competes with the widened kernel; k=19 (dim 20)
+        # is beyond the fused envelope — dual_fast is the ONLY route there
+        Hw = rng.uniform(0.0, 1.0, (k, n)); Hw[Hw < 0.6] = 0.0
+        x0 = rng.uniform(0.5, 1.5, n); x0 /= x0.sum()
+        margins = rng.uniform(0.05, 0.15, (batch, k))
+        fams.append((k, Hw, (Hw @ x0)[None, :] + margins))
     reps = 5 if on_tpu else 2
     for k, H, u_np in fams:
         H = jnp.asarray(H, dtype)
@@ -752,6 +754,39 @@ def phase1_fleet(records, dtype, on_tpu):
     }
     records.append(rec)
     print(json.dumps(rec), flush=True)
+
+    # round-5 GAME-DUAL screen (DistKL.feasibility_screen_batch): the
+    # smoothed min-max re-design — fixed Newton/continuation schedule, no
+    # lane coupling, measured two-sided certificates.  Row 1: the same
+    # mixed family/batch as the rows above; row 2: a 10k fleet (the
+    # while_loop routes cannot run 10k lanes on the remote worker at all)
+    for Bs in ((batch, 10000) if on_tpu else (batch,)):
+        rngs = np.random.default_rng(7)
+        pAs = rngs.uniform(0.3, 0.5, Bs)
+        qAs = pAs + rngs.uniform(0.05, 0.2, Bs)
+        bads = np.zeros(Bs, bool); bads[::10] = True
+        qAs[bads] = pAs[bads] - rngs.uniform(0.05, 0.1, bads.sum())
+        us = jnp.asarray(np.stack([-pAs, qAs], axis=1), dtype)
+
+        def screen_game(u):
+            s = prob0.feasibility_screen_batch(u)
+            return s.s_lower, s.s_upper, s.infeasible, s.undecided
+
+        reps_g = 5 if on_tpu else 1
+        sec, (_, (slb, sub, infeas, und)) = timed(
+            chained(screen_game, reps_g), us, reps=reps_g)
+        rec = {
+            "metric": f"phase1_screen_game_n{n}_B{Bs}", "batch": Bs,
+            "value": round(Bs / sec, 1), "unit": "instances/s",
+            "ms_per_batch": round(sec * 1e3, 2),
+            "infeasible_in_batch": int(bads.sum()),
+            "flags_exact": bool(np.array_equal(np.asarray(infeas), bads)),
+            "undecided": int(np.asarray(und).sum()),
+            "interval_width_max": float(np.max(np.asarray(sub)
+                                               - np.asarray(slb))),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
 
     # generic per-instance feasibility_analysis under vmap, smaller batch
     # (10k lanes of the coupled while_loop outran the worker watchdog):

@@ -2,7 +2,8 @@
 stack.  Dist_KL (Kullback–Leibler distance minimization) is the reference's
 primary use case (cvx/Dist_KL.scala, README.md:7-8)."""
 
-from .dist_kl import DistKL, KLObjective
+from .dist_kl import (DistKL, FeasibilityScreen, KLObjective,
+                      kl_feasibility_screen)
 from .qp import LP, QP, DiagQP, QPCertificate, qp_certify
 
 __all__ = ["DistKL", "KLObjective", "QP", "DiagQP", "LP",

@@ -1034,3 +1034,242 @@ class DistKL:
             return rep.s_max, rep.strictly_feasible
 
         return jax.vmap(screen_one)(jnp.asarray(u, dtype))
+
+    def feasibility_screen_batch(self, u, *, t0: float = 4.0,
+                                 mu_t: float = 4.0, stages: int = 6,
+                                 newton_steps: int = 4):
+        """FLEET phase-I screen at TPU speed: entropy-smoothed GAME dual.
+
+        The generic phase-I (``feasibility_batch`` /
+        ``feasibility_analysis``, the reference's construction-time gate —
+        Dist_KL.scala:307, ConstraintSet.scala:355-477) couples every vmap
+        lane through one while_loop and measures ~120 inst/s on TPU.  This
+        screen is a RE-DESIGN of the same decision for the KL family's
+        geometry: by LP duality on the simplex,
+
+            s* = min_{x in simplex} max_i (H_i x - u_i)
+               = max_{w in simplex_k} [ min_j (w'H)_j - w'u ],
+
+        and ANY primal/dual pair gives MEASURED two-sided certificates
+
+            s_lower = min_j (w'H)_j - w'u  <=  s*  <=
+            s_upper = max_i (H_i x - u_i),
+
+        so the method needs no convergence proof to be sound — only to be
+        tight.  It ascends the entropy-smoothed dual (smoothing gap
+        log(n)/t) with a damped-Newton fixed schedule (`stages` stages of
+        temperature continuation t <- mu_t * t, `newton_steps` steps each
+        — no data-dependent control flow, so lanes do NOT couple), and
+        recovers the strictly positive primal x(w) = softmax(-t w'H).
+        Decision per instance: ``s_upper < 0`` => strictly feasible (x is
+        the point — strictly positive, sums to one, H x < u);
+        ``s_lower > 0`` => INFEASIBLE certificate (w proves no point of
+        the closed simplex satisfies H x <= u — the condition from which
+        the reference raises, ConstraintSet.scala:571-572); neither =>
+        ``undecided`` (|s*| below the smoothing floor ~ log(n)/t_final;
+        escalate those few instances to ``feasibility_batch``).
+
+        NOTE the value convention: s* here is the game value over the
+        CLOSED simplex (positivity hard), while ``feasibility_batch``'s
+        s_max also slacks the positivity rows — the SIGNS agree (both
+        decide strict feasibility of the same set), the magnitudes need
+        not.  Fast path requires no extra equality rows (A empty) — the
+        inner minimization is closed-form only over the simplex itself.
+        """
+        if self.H.shape[0] == 0:
+            raise ValueError("feasibility_screen_batch needs inequality "
+                             "rows (H); equality-only models are screened "
+                             "by feasibility_batch")
+        if self.A.shape[0] > 0:
+            raise ValueError("feasibility_screen_batch: extra equality "
+                             "rows are not supported on the game fast "
+                             "path — use feasibility_batch")
+        return kl_feasibility_screen(self.H, u, t0=t0, mu_t=mu_t,
+                                     stages=stages,
+                                     newton_steps=newton_steps)
+
+
+@pytree_dataclass
+class FeasibilityScreen:
+    """Batched result of :meth:`DistKL.feasibility_screen_batch`.
+
+    ``s_lower <= s* <= s_upper`` are MEASURED certificates of the game
+    value s* = min_{x in simplex} max_i (H_i x - u_i); the flags are the
+    per-instance decisions (``undecided`` = the interval straddles 0)."""
+
+    s_lower: jax.Array            # (B,)
+    s_upper: jax.Array            # (B,)
+    x: jax.Array                  # (B, n) strictly positive, sums to one
+    w: jax.Array                  # (B, k) dual weights on the simplex
+    strictly_feasible: jax.Array  # (B,) bool: s_upper < 0
+    infeasible: jax.Array         # (B,) bool: s_lower > 0
+    undecided: jax.Array          # (B,) bool
+
+
+def kl_feasibility_screen(H, u, *, t0: float = 4.0, mu_t: float = 4.0,
+                          stages: int = 6, newton_steps: int = 4,
+                          polish_steps: int = 8):
+    """Entropy-smoothed game-dual feasibility screen (jittable core).
+
+    ``H`` (k, n) shared rows, ``u`` (B, k) per-instance bounds; returns a
+    :class:`FeasibilityScreen`.  See ``DistKL.feasibility_screen_batch``
+    for the math.  Two measured halves per continuation stage:
+
+    * LOWER bound: damped-Newton ascent of the x-smoothed dual on softmax
+      logits theta (any iterate maps to a valid w in the simplex, so every
+      stage's bound is sound); the tiny Newton system goes through the
+      closed-form/unrolled ``duality._small_solve`` (batched tiny LU
+      scalarizes on TPU).
+    * UPPER bound: ``polish_steps`` multiplicative-weights steps on the
+      w-smoothed max-violation F_t(x) = (1/t) logsumexp(t(Hx - u))
+      (exponentiated gradient: x <- softmax(log x - eta H'sigma), sigma =
+      softmax(t(Hx - u))), warm-started from the running best x.  This is
+      NOT redundant with x(w) = softmax(-t w'H): when constraint rows
+      cancel along the optimal w (e.g. the ANTI-PARALLEL +/-I_A family,
+      the round-5 mixed-fleet stress case), the payoff w*'H is flat and
+      x(w*) degenerates to uniform — the dual alone cannot recover a
+      feasible point there, while the primal descent walks straight into
+      the feasible band.
+
+    Bounds are accumulated as the running BEST across stages — they only
+    ever tighten.  All contractions run at precision="highest": bf16 MXU
+    matmuls would poison the tiny Newton systems (see _NegDualObjective).
+    """
+    from ..duality import _small_solve
+
+    H = jnp.asarray(H)
+    dtype = H.dtype
+    k, n = H.shape
+    u = jnp.asarray(u, dtype)
+    logn = float(np.log(n))
+    # host-side static temperature schedule (continuation in the
+    # smoothing parameter, like the barrier's mu schedule)
+    ts = [float(t0) * float(mu_t) ** j for j in range(stages)]
+    eye = jnp.eye(k, dtype=dtype)
+    damp = 64.0 * float(jnp.finfo(dtype).eps)
+    # exponentiated-gradient step: |grad log-space update| <= eta * max|H|
+    eta = 1.0 / (jnp.max(jnp.abs(H)) + jnp.asarray(
+        float(jnp.finfo(jnp.float32).tiny), dtype))
+
+    def _wa(theta):
+        w = jax.nn.softmax(theta)
+        a = jnp.einsum("i,in->n", w, H, precision="highest")
+        return w, a
+
+    def _phi(theta, t, ui):
+        # smoothed dual value: -(1/t)(logsumexp(-t w'H) - log n) - w'u
+        w, a = _wa(theta)
+        inner = -(jax.nn.logsumexp(-t * a) - logn) / t
+        return inner - jnp.einsum("i,i->", w, ui, precision="highest")
+
+    def _lower(theta, ui):
+        # MEASURED (unsmoothed) dual certificate at the current iterate
+        w, a = _wa(theta)
+        wu = jnp.einsum("i,i->", w, ui, precision="highest")
+        return jnp.min(a) - wu, w
+
+    def _viol(x, ui):
+        return jnp.einsum("in,n->i", H, x, precision="highest") - ui
+
+    # the returned x must be STRICTLY positive (it seeds barrier solves,
+    # whose log(x) cannot take the exact-0 entries softmax underflows to
+    # at high t): mix in a vanishing uniform mass BEFORE measuring, so
+    # s_upper certifies the point actually returned
+    delta = 32.0 * float(jnp.finfo(dtype).eps)
+
+    def _mix(x):
+        return (1.0 - delta) * x + (delta / n)
+
+    def screen_one(ui):
+        theta = jnp.zeros((k,), dtype)
+        x = jnp.full((n,), 1.0 / n, dtype)
+        s_lb, w = _lower(theta, ui)
+        s_ub = jnp.max(_viol(x, ui))
+        for t in ts:
+            phi_t = lambda th: _phi(th, t, ui)  # noqa: E731
+            for _ in range(newton_steps):
+                # GAUSS-NEWTON metric, not jax.hessian: phi is concave in
+                # w but phi(softmax(theta)) is NOT concave in theta (the
+                # softmax-curvature term grad_w phi . d2 softmax is
+                # indefinite, and _small_solve's floored Cholesky turns an
+                # indefinite system into inf/NaN).  Pull the NSD w-space
+                # Hessian  -t H (diag(x) - x x') H'  back through the
+                # softmax Jacobian J = diag(w) - w w' (PSD by construction
+                # as J Mw J); the dropped term vanishes at stationarity.
+                w, a = _wa(theta)
+                x_t = jax.nn.softmax(-t * a)
+                hx = jnp.einsum("in,n->i", H, x_t, precision="highest")
+                hv = hx - ui                          # grad_w phi
+                g = w * hv - w * jnp.einsum("i,i->", w, hv,
+                                            precision="highest")
+                G = H * x_t[None, :]
+                Mw = t * (jnp.einsum("in,jn->ij", G, H,
+                                     precision="highest")
+                          - jnp.outer(hx, hx))
+                JM = w[:, None] * Mw - w[:, None] * jnp.einsum(
+                    "i,ij->j", w, Mw, precision="highest")[None, :]
+                Hm = (JM * w[None, :]
+                      - jnp.einsum("ij,j->i", JM, w,
+                                   precision="highest")[:, None]
+                      * w[None, :])
+                Hm = 0.5 * (Hm + Hm.T)                # exact symmetry
+                lam = damp * (jnp.trace(Hm) / k + 1.0)
+                d = _small_solve(Hm + lam * eye, g)  # ascent direction
+                # fixed-candidate line search on the true smoothed dual
+                # (+ a safeguarded gradient candidate: d can be garbage
+                # when the softmax saturates and Hm loses rank)
+                tiny = jnp.asarray(float(jnp.finfo(jnp.float32).tiny),
+                                   dtype)
+                gn = g / (jnp.sqrt(jnp.einsum("i,i->", g, g,
+                                              precision="highest")) + tiny)
+                # cap the Newton step in logit space: a saturated softmax
+                # flattens the Hessian to ~0 and the damped solve emits
+                # enormous d; unchecked, theta runs to +/-inf and softmax
+                # turns NaN (inf - inf), poisoning BOTH bounds
+                dn = jnp.sqrt(jnp.einsum("i,i->", d, d,
+                                         precision="highest"))
+                d = d * jnp.minimum(1.0, 10.0 / (dn + tiny))
+                cands = [theta + alpha * d
+                         for alpha in (1.0, 0.25, 0.0625)]
+                cands.append(theta + gn)
+                cands.append(theta)                  # never go downhill
+                vals = jnp.stack([phi_t(c) for c in cands])
+                theta = jnp.stack(cands)[jnp.argmax(vals)]
+                # recenter (softmax-invariant) and clip: keeps logits
+                # finite forever; -60 still represents weight ~ 1e-26
+                theta = jnp.clip(theta - jnp.max(theta), -60.0, 0.0)
+            lb, wt = _lower(theta, ui)
+            w = jnp.where(lb > s_lb, wt, w)
+            s_lb = jnp.maximum(s_lb, lb)
+            # primal polish (in LOG space — x(w) entries underflow to
+            # exact 0 at high t, and log(0) would re-poison the
+            # exponentiated-gradient update): start from the better of
+            # the running best x and the dual recovery x(w)
+            _, a = _wa(theta)
+            lw = jax.nn.log_softmax(-t * a)
+            xw = _mix(jnp.exp(lw))
+            ub_w = jnp.max(_viol(xw, ui))
+            lx = jnp.where(ub_w < s_ub, lw,
+                           jnp.log(jnp.maximum(x, jnp.asarray(
+                               float(jnp.finfo(jnp.float32).tiny), dtype))))
+            x = jnp.where(ub_w < s_ub, xw, x)
+            s_ub = jnp.minimum(s_ub, ub_w)
+            for _ in range(polish_steps):
+                sig = jax.nn.softmax(t * _viol(jnp.exp(lx), ui))
+                lx = jax.nn.log_softmax(
+                    lx - eta * jnp.einsum(
+                        "i,in->n", sig, H, precision="highest"))
+                xp = _mix(jnp.exp(lx))
+                ub_p = jnp.max(_viol(xp, ui))
+                x = jnp.where(ub_p < s_ub, xp, x)
+                s_ub = jnp.minimum(s_ub, ub_p)
+        return s_lb, s_ub, x, w
+
+    s_lb, s_ub, x, w = jax.vmap(screen_one)(u)
+    zero = jnp.zeros((), dtype)
+    feas = s_ub < zero
+    infeas = s_lb > zero
+    return FeasibilityScreen(
+        s_lower=s_lb, s_upper=s_ub, x=x, w=w,
+        strictly_feasible=feas, infeasible=infeas,
+        undecided=jnp.logical_not(jnp.logical_or(feas, infeas)))

@@ -350,3 +350,111 @@ class TestBatchedInfeasibility:
         # the feasible instances still certify
         ok = ~bad
         assert float(np.max(np.abs(np.asarray(s.duality_gap)[ok]))) <= 1e-8
+
+
+class TestFeasibilityScreen:
+    """Round-5 game-dual fleet screen (``DistKL.feasibility_screen_batch``):
+    by LP duality s* = min_{x in simplex} max_i (H_i x - u_i) =
+    max_{w in simplex_k} [min_j (w'H)_j - w'u], and ANY (x, w) pair gives
+    MEASURED two-sided certificates — the screen's soundness is checked
+    here against brute-force LP (scipy linprog), its decisions against the
+    generic phase-I, and its returned point against the strict-feasibility
+    definition in f64."""
+
+    def _mixed_batch(self, n=32, B=20, seed=0):
+        rng = np.random.default_rng(seed)
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        H = np.stack([-I_A, I_A])          # -P(A) <= -pA, P(A) <= qA
+        pA = rng.uniform(0.3, 0.5, B)
+        qA = pA + rng.uniform(0.05, 0.2, B)
+        bad = np.zeros(B, bool); bad[::4] = True
+        qA[bad] = pA[bad] - rng.uniform(0.05, 0.1, bad.sum())
+        return H, np.stack([-pA, qA], axis=1), bad
+
+    def test_anti_parallel_family_flags_exact_and_tight(self):
+        # +/-I_A rows cancel along the optimal w, so the dual recovery
+        # x(w*) degenerates to uniform — the primal polish must still find
+        # the feasible band; the true game value here is (pA - qA)/2
+        n, B = 32, 20
+        H, u, bad = self._mixed_batch(n=n, B=B)
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float64),
+                             u=jnp.zeros((2,), jnp.float64))
+        scr = jax.jit(prob.feasibility_screen_batch)(
+            jnp.asarray(u, jnp.float64))
+        assert np.array_equal(np.asarray(scr.infeasible), bad)
+        assert np.array_equal(np.asarray(scr.strictly_feasible), ~bad)
+        assert int(np.asarray(scr.undecided).sum()) == 0
+        s_true = (-u[:, 0] - u[:, 1]) / 2.0         # (pA - qA) / 2
+        slb = np.asarray(scr.s_lower); sub = np.asarray(scr.s_upper)
+        assert float(np.max(sub - slb)) < 1e-6
+        assert np.all(slb <= s_true + 1e-9) and np.all(sub >= s_true - 1e-9)
+
+    def test_bounds_bracket_linprog(self):
+        # random sparse wide-k family: the measured interval must bracket
+        # the true LP value, and the upper bound must be tight
+        from scipy.optimize import linprog
+
+        n, B, k = 40, 6, 7
+        rng = np.random.default_rng(3)
+        H = rng.uniform(0.0, 1.0, (k, n)); H[H < 0.6] = 0.0
+        x0 = rng.uniform(0.5, 1.5, n); x0 /= x0.sum()
+        u = (H @ x0)[None, :] + rng.uniform(0.05, 0.15, (B, k))
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float64),
+                             u=jnp.zeros((k,), jnp.float64))
+        scr = jax.jit(prob.feasibility_screen_batch)(
+            jnp.asarray(u, jnp.float64))
+        slb = np.asarray(scr.s_lower); sub = np.asarray(scr.s_upper)
+        assert int(np.asarray(scr.undecided).sum()) == 0
+        for b in range(B):
+            c = np.zeros(n + 1); c[-1] = 1.0
+            res = linprog(
+                c, A_ub=np.hstack([H, -np.ones((k, 1))]), b_ub=u[b],
+                A_eq=np.hstack([np.ones((1, n)), np.zeros((1, 1))]),
+                b_eq=[1.0], bounds=[(0, None)] * n + [(None, None)])
+            assert res.status == 0
+            assert slb[b] <= res.fun + 1e-9, (b, slb[b], res.fun)
+            assert sub[b] >= res.fun - 1e-9, (b, sub[b], res.fun)
+            assert sub[b] - res.fun < 5e-3          # tight upper bound
+
+    def test_f32_returns_strictly_positive_feasible_point(self):
+        # the returned x seeds barrier solves: it must be strictly
+        # positive (f32 softmax underflow would give exact zeros without
+        # the uniform-mixing guard) and genuinely strictly feasible in f64
+        n, B = 32, 40
+        H, u, bad = self._mixed_batch(n=n, B=B, seed=1)
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float32),
+                             u=jnp.zeros((2,), jnp.float32))
+        scr = jax.jit(prob.feasibility_screen_batch)(
+            jnp.asarray(u, jnp.float32))
+        assert np.array_equal(np.asarray(scr.infeasible), bad)
+        x = np.asarray(scr.x)
+        assert (x > 0.0).all()
+        assert float(np.max(np.abs(x.sum(1) - 1.0))) < 1e-5
+        feas = np.asarray(scr.strictly_feasible)
+        viol = x[feas].astype(np.float64) @ H.T - u[feas]
+        assert (viol < 0.0).all()
+
+    def test_agrees_with_generic_phase1(self):
+        from cvx_tpu.solvers.types import SolverParams
+
+        n, B = 32, 20
+        H, u, bad = self._mixed_batch(n=n, B=B, seed=2)
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float64),
+                             u=jnp.zeros((2,), jnp.float64))
+        scr = jax.jit(prob.feasibility_screen_batch)(
+            jnp.asarray(u, jnp.float64))
+        _, strict = prob.feasibility_batch(
+            jnp.asarray(u, jnp.float64),
+            SolverParams(tol=1e-6, max_iter=60))
+        assert np.array_equal(np.asarray(scr.strictly_feasible),
+                              np.asarray(strict))
+
+    def test_equality_rows_rejected(self):
+        n = 16
+        H = np.ones((1, n)); A = np.ones((1, n))
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float64),
+                             u=jnp.ones((1,), jnp.float64),
+                             A=jnp.asarray(A, jnp.float64),
+                             r=jnp.ones((1,), jnp.float64))
+        with pytest.raises(ValueError, match="equality"):
+            prob.feasibility_screen_batch(jnp.ones((4, 1), jnp.float64))
