@@ -1037,7 +1037,8 @@ class DistKL:
 
     def feasibility_screen_batch(self, u, *, t0: float = 4.0,
                                  mu_t: float = 4.0, stages: int = 6,
-                                 newton_steps: int = 4):
+                                 newton_steps: int = 4,
+                                 polish_steps: int = 8):
         """FLEET phase-I screen at TPU speed: entropy-smoothed GAME dual.
 
         The generic phase-I (``feasibility_batch`` /
@@ -1086,7 +1087,8 @@ class DistKL:
                              "path — use feasibility_batch")
         return kl_feasibility_screen(self.H, u, t0=t0, mu_t=mu_t,
                                      stages=stages,
-                                     newton_steps=newton_steps)
+                                     newton_steps=newton_steps,
+                                     polish_steps=polish_steps)
 
 
 @pytree_dataclass

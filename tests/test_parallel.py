@@ -72,6 +72,33 @@ class TestBatchedSolve:
         xs_shard = parallel.shard_solve(fn, mesh)(probs, x0)
         assert jnp.allclose(xs_local, xs_shard, atol=1e-8)
 
+    def test_sharded_feasibility_screen_matches_local(self):
+        # the game-dual screen is embarrassingly parallel over instances:
+        # shard the (B, k) bounds over the mesh axis, screen per device
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n, B = 16, 32
+        rng = np.random.default_rng(0)
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        H = jnp.asarray(np.stack([-I_A, I_A]))
+        pA = rng.uniform(0.3, 0.5, B)
+        qA = pA + rng.uniform(0.05, 0.2, B)
+        bad = np.zeros(B, bool); bad[::4] = True
+        qA[bad] = pA[bad] - rng.uniform(0.05, 0.1, bad.sum())
+        u = jnp.asarray(np.stack([-pA, qA], axis=1))
+        prob = DistKL.create(n, H=H, u=jnp.zeros((2,), H.dtype))
+
+        local = jax.jit(prob.feasibility_screen_batch)(u)
+        mesh = parallel.instance_mesh(8)
+        sharded = jax.jit(shard_map(
+            prob.feasibility_screen_batch, mesh=mesh,
+            in_specs=P("dp"), out_specs=P("dp"), check_vma=False))(u)
+        assert np.array_equal(np.asarray(sharded.infeasible), bad)
+        for leaf_l, leaf_s in zip(jax.tree.leaves(local),
+                                  jax.tree.leaves(sharded)):
+            assert jnp.allclose(leaf_l, leaf_s, atol=1e-12), leaf_l
+
 
 class TestSchur:
     def _random_problem(self, key, K=8, nb=6, mb=4, p=3):
