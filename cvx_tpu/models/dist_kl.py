@@ -1215,8 +1215,19 @@ def kl_feasibility_screen(H, u, *, t0: float = 4.0, mu_t: float = 4.0,
                                    precision="highest")[:, None]
                       * w[None, :])
                 Hm = 0.5 * (Hm + Hm.T)                # exact symmetry
-                lam = damp * (jnp.trace(Hm) / k + 1.0)
+                # damping must dominate the f32 ROUNDING of Hm's own
+                # construction (~eps * max|Mw| ~ eps * t), not just its
+                # trace: a saturated softmax sends J -> 0 and Hm -> 0
+                # while Mw stays O(t) — with trace-only damping the k > 8
+                # lax Cholesky in _small_solve met an (f32-)indefinite
+                # matrix and emitted NaN (one instance of the 80k sweep)
+                lam = damp * (jnp.trace(Hm) / k + 1.0
+                              + jnp.max(jnp.abs(Hm)))
                 d = _small_solve(Hm + lam * eye, g)  # ascent direction
+                # belt-and-braces: any residual non-finite direction
+                # falls back to plain gradient ascent (the line search
+                # validates either)
+                d = jnp.where(jnp.all(jnp.isfinite(d)), d, g)
                 # fixed-candidate line search on the true smoothed dual
                 # (+ a safeguarded gradient candidate: d can be garbage
                 # when the softmax saturates and Hm loses rank)

@@ -458,3 +458,45 @@ class TestFeasibilityScreen:
                              r=jnp.ones((1,), jnp.float64))
         with pytest.raises(ValueError, match="equality"):
             prob.feasibility_screen_batch(jnp.ones((4, 1), jnp.float64))
+
+    def test_near_saturated_softmax_stays_finite(self):
+        # pinned from the round-5 80k TPU sweep: instance 6049 of the
+        # (k=11, pair) family NaN'd BOTH bounds in f32 — near-saturated
+        # softmax sends the Gauss-Newton matrix Hm -> 0 while its
+        # construction rounding stays O(eps * t), so trace-only damping
+        # under-regularized and the k > 8 lax Cholesky met an
+        # (f32-)indefinite matrix.  The damping now scales with max|Hm|
+        # (and a non-finite direction falls back to the gradient).  The
+        # exact instance is replayed through the sweep's rng stream.
+        rng = np.random.default_rng(0)
+        B = 10000
+        configs = [
+            (2, 100, 0.05, 0.10, "negu"), (3, 100, 0.02, 0.10, "pair"),
+            (5, 100, 0.10, 0.50, "negu"), (7, 100, 0.05, 0.10, "pair"),
+            (9, 300, 0.02, 0.10, "negu"), (11, 100, 0.15, 0.25, "pair"),
+        ]
+        for (k, n, margin, frac, mode) in configs:
+            Hw = rng.uniform(0.0, 1.0, (k, n)); Hw[Hw < 0.6] = 0.0
+            if mode == "pair":
+                h = rng.uniform(0.0, 1.0, n); Hw[k - 2] = h; Hw[k - 1] = -h
+            x0 = rng.uniform(0.5, 1.5, n); x0 /= x0.sum()
+            uw = (Hw @ x0)[None, :] + rng.uniform(margin, 2 * margin,
+                                                  (B, k))
+            bad = np.zeros(B, bool)
+            bad[rng.permutation(B)[:int(B * frac)]] = True
+            if mode == "negu":
+                uw[bad, 0] = -rng.uniform(margin, 2 * margin, bad.sum())
+            else:
+                a = h @ x0
+                uw[bad, k - 2] = a - rng.uniform(margin, 2 * margin,
+                                                 bad.sum())
+                uw[bad, k - 1] = -a
+        assert abs(float(Hw.sum()) - 282.53496039970514) < 1e-6  # replay ok
+        prob = DistKL.create(100, H=jnp.asarray(Hw, jnp.float32),
+                             u=jnp.zeros((11,), jnp.float32))
+        scr = jax.jit(prob.feasibility_screen_batch)(
+            jnp.asarray(uw[6049:6050], jnp.float32))
+        assert bool(np.isfinite(np.asarray(scr.s_lower)).all())
+        assert bool(np.isfinite(np.asarray(scr.s_upper)).all())
+        assert not bool(np.asarray(scr.undecided)[0])
+        assert bool(np.asarray(scr.strictly_feasible)[0])  # bad[6049]=False
