@@ -1038,7 +1038,8 @@ class DistKL:
     def feasibility_screen_batch(self, u, *, t0: float = 4.0,
                                  mu_t: float = 4.0, stages: int = 6,
                                  newton_steps: int = 4,
-                                 polish_steps: int = 8):
+                                 polish_steps: int = 16,
+                                 eq_tol: float = 1e-4):
         """FLEET phase-I screen at TPU speed: entropy-smoothed GAME dual.
 
         The generic phase-I (``feasibility_batch`` /
@@ -1074,18 +1075,31 @@ class DistKL:
         CLOSED simplex (positivity hard), while ``feasibility_batch``'s
         s_max also slacks the positivity rows — the SIGNS agree (both
         decide strict feasibility of the same set), the magnitudes need
-        not.  Fast path requires no extra equality rows (A empty) — the
-        inner minimization is closed-form only over the simplex itself.
+        not.  Extra equality rows A x = r are folded in as the ±row
+        pairs A x <= r + eq_tol, -A x <= -r + eq_tol — the REFERENCE'S
+        own phase-I treatment of equalities (eqs-as-inequalities with
+        tol 1e-6, ConstraintSet.scala:326-347); ``strictly_feasible``
+        then certifies a point meeting the equalities within eq_tol
+        (use ``feasibility_batch`` for the exact-equality nullspace
+        treatment), while ``infeasible`` certifies the ORIGINAL problem
+        infeasible (the relaxation is strictly weaker).  The ± pairs
+        are anti-parallel rows — exactly the degenerate-payoff shape
+        the primal polish exists for.  Default eq_tol = 1e-4 is what
+        the default schedule DECIDES (measured: returned points meet
+        the equalities to ~1e-5 in f32, ~1e-6 in f64); at the
+        reference's written 1e-6 the feasible side honestly lands in
+        ``undecided`` (never a false flag) — escalate those lanes to
+        ``feasibility_batch``.
         """
-        if self.H.shape[0] == 0:
-            raise ValueError("feasibility_screen_batch needs inequality "
-                             "rows (H); equality-only models are screened "
-                             "by feasibility_batch")
-        if self.A.shape[0] > 0:
-            raise ValueError("feasibility_screen_batch: extra equality "
-                             "rows are not supported on the game fast "
-                             "path — use feasibility_batch")
-        return kl_feasibility_screen(self.H, u, t0=t0, mu_t=mu_t,
+        u = jnp.asarray(u, self.H.dtype)
+        H, mE = self.H, self.A.shape[0]
+        if mE > 0:
+            tol = jnp.asarray(eq_tol, H.dtype)
+            H = jnp.concatenate([H, self.A, -self.A], axis=0)
+            pad = jnp.concatenate([self.r + tol, -self.r + tol])
+            u = jnp.concatenate(
+                [u, jnp.tile(pad[None, :], (u.shape[0], 1))], axis=1)
+        return kl_feasibility_screen(H, u, t0=t0, mu_t=mu_t,
                                      stages=stages,
                                      newton_steps=newton_steps,
                                      polish_steps=polish_steps)
@@ -1110,7 +1124,7 @@ class FeasibilityScreen:
 
 def kl_feasibility_screen(H, u, *, t0: float = 4.0, mu_t: float = 4.0,
                           stages: int = 6, newton_steps: int = 4,
-                          polish_steps: int = 8):
+                          polish_steps: int = 16):
     """Entropy-smoothed game-dual feasibility screen (jittable core).
 
     ``H`` (k, n) shared rows, ``u`` (B, k) per-instance bounds; returns a
@@ -1134,8 +1148,13 @@ def kl_feasibility_screen(H, u, *, t0: float = 4.0, mu_t: float = 4.0,
       the feasible band.
 
     Bounds are accumulated as the running BEST across stages — they only
-    ever tighten.  All contractions run at precision="highest": bf16 MXU
-    matmuls would poison the tiny Newton systems (see _NegDualObjective).
+    ever tighten.  polish_steps=16 default: a round-5 TPU A/B on the
+    eq-fold family measured 8 steps leaving ~10% of feasible instances
+    just outside the 1e-4 band (973/10k undecided) while 16 decided all,
+    at ~+1.5 ms per 10k-instance batch — polish steps are the cheapest
+    ops in the screen (two (k,n) matvecs each).  All contractions run at
+    precision="highest": bf16 MXU matmuls would poison the tiny Newton
+    systems (see _NegDualObjective).
     """
     from ..duality import _small_solve
 

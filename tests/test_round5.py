@@ -449,15 +449,38 @@ class TestFeasibilityScreen:
         assert np.array_equal(np.asarray(scr.strictly_feasible),
                               np.asarray(strict))
 
-    def test_equality_rows_rejected(self):
-        n = 16
-        H = np.ones((1, n)); A = np.ones((1, n))
+    def test_equality_rows_fold_as_pair(self):
+        # extra equalities enter as the reference's eqs-as-±inequalities
+        # (tol band, ConstraintSet.scala:326-347): a mixed family with
+        # E[W] = r must flag exactly, and the returned feasible points
+        # must meet the equality within eq_tol
+        rng = np.random.default_rng(2)
+        n, B = 64, 32
+        I_A = np.zeros(n); I_A[:3] = 1.0
+        H = np.stack([-I_A, I_A])
+        pA = rng.uniform(0.2, 0.4, B)
+        qA = pA + rng.uniform(0.05, 0.2, B)
+        bad = np.zeros(B, bool); bad[::8] = True
+        qA[bad] = pA[bad] - rng.uniform(0.05, 0.1, bad.sum())
+        u = np.stack([-pA, qA], axis=1)
+        W = rng.uniform(0.5, 1.5, n)
+        m1 = (pA[1] + qA[1]) / 2.0
+        xf = m1 * I_A / 3 + (1 - m1) * (1 - I_A) / (n - 3)
+        r = np.array([W @ xf])          # consistent with instance 1's band
         prob = DistKL.create(n, H=jnp.asarray(H, jnp.float64),
-                             u=jnp.ones((1,), jnp.float64),
-                             A=jnp.asarray(A, jnp.float64),
-                             r=jnp.ones((1,), jnp.float64))
-        with pytest.raises(ValueError, match="equality"):
-            prob.feasibility_screen_batch(jnp.ones((4, 1), jnp.float64))
+                             u=jnp.zeros((2,), jnp.float64),
+                             A=jnp.asarray(W[None, :], jnp.float64),
+                             r=jnp.asarray(r, jnp.float64))
+        scr = jax.jit(prob.feasibility_screen_batch)(
+            jnp.asarray(u, jnp.float64))
+        inf = np.asarray(scr.infeasible)
+        assert bool(inf[bad].all())           # real infeasibility certified
+        assert int(inf[~bad].sum()) == 0      # never a false infeasible
+        feas = np.asarray(scr.strictly_feasible)
+        assert feas.any()
+        x = np.asarray(scr.x)[feas]
+        assert float(np.abs(x @ W - r[0]).max()) < 1e-4   # eq_tol default
+        assert bool(((x @ H.T) - u[feas] < 0).all())
 
     def test_near_saturated_softmax_stays_finite(self):
         # pinned from the round-5 80k TPU sweep: instance 6049 of the
