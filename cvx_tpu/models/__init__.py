@@ -6,5 +6,5 @@ from .dist_kl import (DistKL, FeasibilityScreen, KLObjective,
                       kl_feasibility_screen)
 from .qp import LP, QP, DiagQP, QPCertificate, qp_certify
 
-__all__ = ["DistKL", "KLObjective", "QP", "DiagQP", "LP",
-           "QPCertificate", "qp_certify"]
+__all__ = ["DistKL", "FeasibilityScreen", "KLObjective", "QP", "DiagQP",
+           "LP", "QPCertificate", "kl_feasibility_screen", "qp_certify"]

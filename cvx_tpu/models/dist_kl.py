@@ -1217,22 +1217,28 @@ def kl_feasibility_screen(H, u, *, t0: float = 4.0, mu_t: float = 4.0,
                 # Hessian  -t H (diag(x) - x x') H'  back through the
                 # softmax Jacobian J = diag(w) - w w' (PSD by construction
                 # as J Mw J); the dropped term vanishes at stationarity.
-                w, a = _wa(theta)
+                # wi is LOOP-LOCAL: `w` carries the running-best dual
+                # certificate across stages — reusing the name here
+                # clobbered it, and the returned w could then fail to
+                # reproduce s_lower (caught by the round-5 code review;
+                # pinned in TestFeasibilityScreen::test_returned_w_
+                # reproduces_s_lower)
+                wi, a = _wa(theta)
                 x_t = jax.nn.softmax(-t * a)
                 hx = jnp.einsum("in,n->i", H, x_t, precision="highest")
                 hv = hx - ui                          # grad_w phi
-                g = w * hv - w * jnp.einsum("i,i->", w, hv,
-                                            precision="highest")
+                g = wi * hv - wi * jnp.einsum("i,i->", wi, hv,
+                                              precision="highest")
                 G = H * x_t[None, :]
                 Mw = t * (jnp.einsum("in,jn->ij", G, H,
                                      precision="highest")
                           - jnp.outer(hx, hx))
-                JM = w[:, None] * Mw - w[:, None] * jnp.einsum(
-                    "i,ij->j", w, Mw, precision="highest")[None, :]
-                Hm = (JM * w[None, :]
-                      - jnp.einsum("ij,j->i", JM, w,
+                JM = wi[:, None] * Mw - wi[:, None] * jnp.einsum(
+                    "i,ij->j", wi, Mw, precision="highest")[None, :]
+                Hm = (JM * wi[None, :]
+                      - jnp.einsum("ij,j->i", JM, wi,
                                    precision="highest")[:, None]
-                      * w[None, :])
+                      * wi[None, :])
                 Hm = 0.5 * (Hm + Hm.T)                # exact symmetry
                 # damping must dominate the f32 ROUNDING of Hm's own
                 # construction (~eps * max|Mw| ~ eps * t), not just its

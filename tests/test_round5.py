@@ -19,6 +19,12 @@
    feasible/infeasible fleet flags EXACTLY the infeasible instances, both
    via ``feasibility_analysis`` (s* > 0) and via the certified batch
    route's stall flags (VERDICT round 4 item 5).
+6. The game-dual fleet screen (``DistKL.feasibility_screen_batch``):
+   measured two-sided certificates bracket brute-force LP, flags match
+   the generic phase-I, anti-parallel/equality-fold degeneracies decide,
+   the f32 returned point is strictly positive and f64-audited feasible,
+   the saturated-softmax NaN and the clobbered-w certificate leaf stay
+   pinned, and the screen shards over a mesh (test_parallel.py).
 """
 
 import numpy as np
@@ -523,3 +529,26 @@ class TestFeasibilityScreen:
         assert bool(np.isfinite(np.asarray(scr.s_upper)).all())
         assert not bool(np.asarray(scr.undecided)[0])
         assert bool(np.asarray(scr.strictly_feasible)[0])  # bad[6049]=False
+
+    def test_returned_w_reproduces_s_lower(self):
+        # round-5 code-review catch: the Newton loop reused the name `w`,
+        # clobbering the running-best dual certificate — on this family
+        # 2/50 flagged-infeasible instances returned a w whose recomputed
+        # certificate min_j(w'H)_j - w'u no longer certified anything.
+        # The returned w must reproduce s_lower, and must be a POSITIVE
+        # certificate on every flagged-infeasible lane.
+        n, B = 32, 200
+        H, u, bad = self._mixed_batch(n=n, B=B, seed=0)
+        prob = DistKL.create(n, H=jnp.asarray(H, jnp.float64),
+                             u=jnp.zeros((2,), jnp.float64))
+        scr = jax.jit(prob.feasibility_screen_batch)(
+            jnp.asarray(u, jnp.float64))
+        w = np.asarray(scr.w)
+        # w lives on the k-simplex
+        assert (w >= 0).all()
+        assert float(np.max(np.abs(w.sum(1) - 1.0))) < 1e-12
+        recomputed = np.min(w @ H, axis=1) - np.sum(w * u, axis=1)
+        slb = np.asarray(scr.s_lower)
+        assert float(np.max(np.abs(recomputed - slb))) < 1e-9
+        inf = np.asarray(scr.infeasible)
+        assert (recomputed[inf] > 0).all()   # re-checkable proof
