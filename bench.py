@@ -196,6 +196,9 @@ def _run(n):
         # certificate is FLOOR-limited at ~3.6e-6 from 8 steps up (median
         # ~-1e-8, i.e. converged); 12 keeps 2+ steps of margin over the
         # flagship distribution while saving ~1.5 ms vs the old 16.
+        # Round-5 serial re-A/B: 10 steps = 4.9 ms at gap 3.55e-6 (right
+        # AT the floor) vs 12 = 5.2-5.3 ms at 2.72e-6 — the ~7% saving
+        # is not worth giving up the convergence margin; 12 stays.
         steps = int(os.environ.get("BENCH_DUAL_STEPS", 12))
         # batch-tile knob for hardware sweeps.  Round-5 interleaved A/B on
         # v5e at the flagship shape: 256 == 512 within tunnel noise
