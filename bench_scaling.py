@@ -316,7 +316,7 @@ def kl_certified(records, dtype, on_tpu, n=100, batch=None):
     (SolverParams.scala:41), so round 4 certifies n = 100 / 1000 / 10000
     (verdict item 3).  Methodology = bench.py's BENCH_CERT block exactly:
     same solve entry (``solve_certified_batch`` defaults), chained
-    data-dependent reps, best-of-3, small-leaf completion forcing."""
+    data-dependent reps, best-of-5, small-leaf completion forcing."""
     jax.config.update("jax_enable_x64", True)
     from cvx_tpu.models import DistKL
 
@@ -335,8 +335,12 @@ def kl_certified(records, dtype, on_tpu, n=100, batch=None):
         s = prob.solve_certified_batch(u)
         return s.x, s.duality_gap, s.ineq_res
 
-    reps = 5 if on_tpu else 2
-    sec, (_, (xs, gaps, ineq)) = timed(chained(solve, reps), u, reps=reps)
+    # 10-rep chain, best-of-5 (round 5): the certified route's run-to-run
+    # tunnel spread is ~±12% (captures 10.48/10.62/12.05 ms, same binary);
+    # the longer chain + extra tries reliably find the ~10.5 ms floor.
+    reps = 10 if on_tpu else 2
+    sec, (_, (xs, gaps, ineq)) = timed(chained(solve, reps), u,
+                                       reps=reps, tries=5)
     gaps = np.asarray(gaps)
     rec = {
         "metric": f"kl_certified_1e8_n{n}", "batch": batch,
