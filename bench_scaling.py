@@ -680,7 +680,9 @@ def kl_dual_fast_rows(records, dtype, on_tpu):
         x0 = rng.uniform(0.5, 1.5, n); x0 /= x0.sum()
         margins = rng.uniform(0.05, 0.15, (batch, k))
         fams.append((k, Hw, (Hw @ x0)[None, :] + margins))
-    reps = 5 if on_tpu else 2
+    # 10-rep chain, best-of-5 (round-5 jitter amortization); the k=19
+    # chain is ~7 s per dispatch, still well under the worker watchdog
+    reps = 10 if on_tpu else 2
     for k, H, u_np in fams:
         H = jnp.asarray(H, dtype)
         u = jnp.asarray(u_np, dtype)
@@ -692,7 +694,8 @@ def kl_dual_fast_rows(records, dtype, on_tpu):
                 return s.x, s.duality_gap
             return jax.vmap(one)(u)
 
-        sec, (_, (xs, _)) = timed(chained(solve, reps), u, reps=reps)
+        sec, (_, (xs, _)) = timed(chained(solve, reps), u,
+                                  reps=reps, tries=5)
         cert = kl_gap_certificate_np(np.asarray(xs), H,
                                      np.asarray(u_np, np.float64))
         rec = {
@@ -779,9 +782,10 @@ def phase1_fleet(records, dtype, on_tpu):
             s = prob0.feasibility_screen_batch(u)
             return s.s_lower, s.s_upper, s.infeasible, s.undecided
 
-        reps_g = 5 if on_tpu else 1
+        # 10-rep chain, best-of-5 (round-5 jitter amortization)
+        reps_g = 10 if on_tpu else 1
         sec, (_, (slb, sub, infeas, und)) = timed(
-            chained(screen_game, reps_g), us, reps=reps_g)
+            chained(screen_game, reps_g), us, reps=reps_g, tries=5)
         rec = {
             "metric": f"phase1_screen_game_n{n}_B{Bs}", "batch": Bs,
             "value": round(Bs / sec, 1), "unit": "instances/s",
@@ -835,9 +839,10 @@ def phase1_fleet(records, dtype, on_tpu):
         s = prob0.solve_certified_batch(u)
         return s.duality_gap, s.stalled
 
-    reps = 3 if on_tpu else 1
+    # 10-rep chain, best-of-5 (round-5 jitter amortization)
+    reps = 10 if on_tpu else 1
     sec, (_, (gaps, stalled)) = timed(chained(solve_mixed, reps), u,
-                                      reps=reps)
+                                      reps=reps, tries=5)
     stalled = np.asarray(stalled)
     gaps = np.asarray(gaps)
     rec = {
